@@ -1,0 +1,107 @@
+"""Headline benchmark: solves/sec on a 10k-instance batched Rosenbrock-100
+L-BFGS-B workload (BASELINE.json metric), on whatever accelerator JAX sees.
+
+The baseline is the reference's execution model: one instance at a time on
+one CPU core through the Fortran ``setulb_`` — measured here via
+scipy.optimize.fmin_l_bfgs_b (the same L-BFGS-B lineage the reference crate
+wraps through ``lbfgsb-sys``) on a sample of instances, identical problem,
+identical m/factr/pgtol, extrapolated to per-solve throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_solvers_tpu.core import problems
+from optimization_solvers_tpu.core.oracle import make_oracle
+from optimization_solvers_tpu.solvers.lbfgsb import LbfgsbConfig, lbfgsb_minimize
+
+N = 100
+BATCH = 10_000
+M = 10
+PGTOL = 1e-3   # accuracy target for BOTH tpu and cpu baseline
+FACTR = 100.0  # ~1.2e-5 relative-decrease stall guard in f32
+MAX_ITER = 600
+DTYPE = jnp.float32
+
+
+def _starts(batch: int) -> np.ndarray:
+    rng = np.random.RandomState(42)
+    return rng.uniform(-2.0, 2.0, size=(batch, N))
+
+
+def bench_tpu() -> tuple[float, float]:
+    lower = jnp.full((N,), -5.0, DTYPE)
+    upper = jnp.full((N,), 5.0, DTYPE)
+    oracle = make_oracle(problems.rosenbrock())
+    cfg = LbfgsbConfig(m=M, pgtol=PGTOL, factr=FACTR, max_iter=MAX_ITER)
+
+    solve = jax.jit(
+        jax.vmap(lambda x0: lbfgsb_minimize(oracle, x0, lower, upper, cfg))
+    )
+    x0 = jnp.asarray(_starts(BATCH), DTYPE)
+
+    res = solve(x0)  # compile + warm
+    jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    res = solve(x0)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    median_f = float(jnp.median(res.f))
+    return BATCH / dt, median_f
+
+
+def bench_cpu_baseline(samples: int = 16) -> float:
+    """Per-solve throughput of the reference execution model (sequential
+    Fortran-lineage L-BFGS-B on one CPU core via scipy)."""
+    try:
+        from scipy.optimize import fmin_l_bfgs_b
+    except ImportError:
+        return float("nan")
+
+    def f_np(x):
+        return float(np.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                            + (1.0 - x[:-1]) ** 2))
+
+    def g_np(x):
+        g = np.zeros_like(x)
+        g[:-1] = -400.0 * x[:-1] * (x[1:] - x[:-1] ** 2) - 2.0 * (1.0 - x[:-1])
+        g[1:] += 200.0 * (x[1:] - x[:-1] ** 2)
+        return g
+
+    x0s = _starts(samples)
+    bounds = [(-5.0, 5.0)] * N
+    t0 = time.perf_counter()
+    for i in range(samples):
+        # factr scaled so the relative-decrease threshold matches the
+        # f32 run (factr_eff * eps64 == FACTR * eps32)
+        fmin_l_bfgs_b(f_np, x0s[i].copy(), fprime=g_np, bounds=bounds,
+                      m=M, factr=FACTR * 5.4e8, pgtol=PGTOL, maxiter=MAX_ITER)
+    dt = time.perf_counter() - t0
+    return samples / dt
+
+
+def main():
+    solves_per_sec, median_f = bench_tpu()
+    cpu_solves_per_sec = bench_cpu_baseline()
+    vs = solves_per_sec / cpu_solves_per_sec if cpu_solves_per_sec == cpu_solves_per_sec else None
+    print(json.dumps({
+        "metric": "solves_per_sec_rosenbrock100_lbfgsb_batch10k",
+        "value": round(solves_per_sec, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "median_final_f": median_f,
+        "baseline_cpu_solves_per_sec": round(cpu_solves_per_sec, 2),
+        "device": jax.devices()[0].device_kind,
+    }))
+
+
+if __name__ == "__main__":
+    main()

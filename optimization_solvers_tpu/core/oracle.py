@@ -1,0 +1,84 @@
+"""Oracle layer: autodiff function-evaluation protocol.
+
+TPU-native re-design of the reference oracle seam
+(``/root/reference/src/func_eval.rs:5-41``): the reference takes user closures
+``FnMut(&DVector<f64>) -> FuncEvalMultivariate`` with *analytic* gradients and
+no autodiff anywhere.  Here the default path is a jitted
+``jax.value_and_grad`` (+ ``jax.hessian``) oracle built from a plain scalar
+objective, while hand-written oracles (the reference seam, also used by the
+WASM binding ``/root/reference/src/wasm.rs:84-106``) remain supported via
+:func:`ensure_oracle`.
+
+Line searches that only test the Armijo condition (backtracking / GLL) call
+:meth:`Oracle.value`, skipping the gradient computation entirely — a cost the
+reference cannot avoid because its oracles always return ``(f, g)``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from optimization_solvers_tpu.core.types import FuncEval
+
+
+class Oracle:
+    """A function-evaluation oracle ``x -> FuncEval``.
+
+    ``value(x)`` is the cheap value-only path used by Armijo-only line
+    searches; it falls back to the full evaluation when no value function is
+    available (e.g. wrapped user oracles).
+    """
+
+    def __init__(
+        self,
+        full_fn: Callable[[jax.Array], FuncEval],
+        value_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    ):
+        self._full = full_fn
+        self._value = value_fn
+
+    def __call__(self, x: jax.Array) -> FuncEval:
+        ev = self._full(x)
+        if not isinstance(ev, FuncEval):
+            # tolerate (f, g) / (f, g, h) tuples, mirroring the reference
+            # From<(Floating, DVector)> impl (func_eval.rs:36-41)
+            ev = FuncEval(*ev)
+        return ev
+
+    def value(self, x: jax.Array) -> jax.Array:
+        if self._value is not None:
+            return self._value(x)
+        return self(x).f
+
+
+def make_oracle(
+    f: Callable[[jax.Array], jax.Array],
+    *,
+    with_hessian: bool = False,
+) -> Oracle:
+    """Build an autodiff oracle from a scalar objective ``f(x) -> f``.
+
+    Replaces the reference's hand-written analytic oracles: gradients come
+    from reverse-mode AD and (optionally) Hessians from forward-over-reverse,
+    all fused by XLA into the surrounding jitted solve.
+    """
+    value_and_grad = jax.value_and_grad(f)
+    hess = jax.hessian(f) if with_hessian else None
+
+    def full(x: jax.Array) -> FuncEval:
+        fv, g = value_and_grad(x)
+        h = hess(x) if hess is not None else None
+        return FuncEval(fv, g, h)
+
+    return Oracle(full, value_fn=f)
+
+
+def ensure_oracle(oracle) -> Oracle:
+    """Coerce a plain callable ``x -> FuncEval`` (the reference seam) to
+    :class:`Oracle`."""
+    if isinstance(oracle, Oracle):
+        return oracle
+    return Oracle(oracle)

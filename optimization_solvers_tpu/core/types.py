@@ -1,0 +1,77 @@
+"""Core pytree types: oracle evaluations, solve results, status codes.
+
+TPU-native re-design of the reference oracle protocol
+(``/root/reference/src/func_eval.rs:5-41``): instead of a Rust struct returned
+by a user closure, a :class:`FuncEval` is a JAX pytree so it can flow through
+``jit`` / ``vmap`` / ``lax.while_loop`` carries unchanged.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Status(enum.IntEnum):
+    """Solve status.  Mirrors the reference ``SolverError`` taxonomy
+    (``/root/reference/src/ls_solver.rs:10-20``) plus an explicit success code:
+    the reference signals success by returning ``Ok(())`` and failure through
+    the error enum; on device we carry an int32 status lane-per-instance.
+    """
+
+    RUNNING = 0
+    CONVERGED = 1            # reference: Ok(()) from minimize
+    MAX_ITER_REACHED = 2     # reference: SolverError::MaxIterReached
+    OUT_OF_DOMAIN = 3        # reference: SolverError::OutOfDomain
+    ERROR_INPUT_PARAMS = 4   # reference: SolverError::ErrorInputParams
+    ABNORMAL = 5             # reference: SolverError::AbnormalTermination
+
+
+class FuncEval(NamedTuple):
+    """Value + gradient (+ optional Hessian) of the objective at a point.
+
+    Mirrors ``FuncEval<T, H>`` (``func_eval.rs:5-9``).  ``hessian`` is ``None``
+    for first-order oracles; pytrees treat ``None`` as an empty subtree so the
+    same driver code serves first- and second-order solvers.
+    """
+
+    f: jax.Array                       # scalar objective value
+    g: jax.Array                       # (n,) gradient
+    hessian: Optional[jax.Array] = None  # (n, n) or None
+
+    def with_hessian(self, hessian: jax.Array) -> "FuncEval":
+        # builder parity with func_eval.rs:27-30
+        return self._replace(hessian=hessian)
+
+    @property
+    def in_domain(self) -> jax.Array:
+        """False where f is NaN/Inf — the reference's domain check
+        (``ls_solver.rs:37-40``)."""
+        return jnp.isfinite(self.f)
+
+
+class SolveResult(NamedTuple):
+    """Structured result of a solve.
+
+    Mirrors the reference WASM ``OptimizationResult``
+    (``/root/reference/src/wasm.rs:7-14``: x, f_value, gradient_norm,
+    iterations, success, error_message) with device-friendly fields.
+    All leaves batch under ``vmap``.
+    """
+
+    x: jax.Array           # final iterate, (n,)
+    f: jax.Array           # objective at x
+    g: jax.Array           # gradient at x
+    iterations: jax.Array  # int32 completed solver iterations (reference `k`)
+    status: jax.Array      # int32 Status code
+
+    @property
+    def converged(self) -> jax.Array:
+        return self.status == Status.CONVERGED
+
+    @property
+    def g_norm(self) -> jax.Array:
+        return jnp.linalg.norm(self.g, axis=-1)

@@ -1,0 +1,61 @@
+"""Line-search protocol (reference L2 layer, ``/root/reference/src/line_search/mod.rs``).
+
+A line search is a frozen config object with two methods:
+
+``init_state(ev0)``
+    Build the search's persistent cross-iteration state (a pytree carried in
+    the solver driver's ``lax.while_loop``).  Only GLL has one (the
+    non-monotone f-history ring, ``gll_quadratic.rs:30-43``); the rest return
+    ``None``.
+
+``step_len(oracle, x, ev, d, state, bounds, max_iter) -> (t, state)``
+    The reference ``LineSearch::compute_step_len`` (``mod.rs:14-23``)
+    re-shaped for device residency: the data-dependent repeat-until-accept
+    loop becomes a ``lax.while_loop`` whose carry is per-instance scalar
+    state, so the whole search batches losslessly under ``vmap`` (each batch
+    lane keeps its own accept mask and stops updating once accepted).
+
+Shared Wolfe-condition predicates (``mod.rs:25-86``) live here as free
+functions over scalars.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Bounds = Optional[Tuple[jax.Array, jax.Array]]
+
+
+def sufficient_decrease(c1, f_k, f_kp1, g_dot_d, t) -> jax.Array:
+    """Armijo: ``f_{k+1} - f_k <= c1 * t * g_k . d`` (``mod.rs:27-37``)."""
+    return f_kp1 - f_k <= c1 * t * g_dot_d
+
+
+def curvature_condition(c2, g_dot_d, g_kp1_dot_d) -> jax.Array:
+    """``g_{k+1} . d >= c2 * g_k . d`` (``mod.rs:41-47``)."""
+    return g_kp1_dot_d >= c2 * g_dot_d
+
+
+def strong_curvature_condition(c2, g_dot_d, g_kp1_dot_d) -> jax.Array:
+    """``|g_{k+1} . d| <= c2 |g_k . d|`` (``mod.rs:49-56``)."""
+    return jnp.abs(g_kp1_dot_d) <= c2 * jnp.abs(g_dot_d)
+
+
+def strong_wolfe(c1, c2, f_k, f_kp1, g_dot_d, g_kp1_dot_d, t) -> jax.Array:
+    """Strong Wolfe conditions (``mod.rs:73-85``)."""
+    return sufficient_decrease(c1, f_k, f_kp1, g_dot_d, t) & strong_curvature_condition(
+        c2, g_dot_d, g_kp1_dot_d
+    )
+
+
+class LineSearch:
+    """Base class; concrete searches are frozen dataclasses subclassing this."""
+
+    def init_state(self, ev0) -> Any:
+        return None
+
+    def step_len(self, oracle, x, ev, d, state, bounds: Bounds, max_iter: int):
+        raise NotImplementedError

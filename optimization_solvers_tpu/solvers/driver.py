@@ -1,0 +1,171 @@
+"""Generic solver driver: the reference ``LineSearchSolver::minimize``
+template loop (``/root/reference/src/ls_solver.rs:23-112``) inverted into a
+device-resident ``lax.while_loop``.
+
+Key redesign vs. the reference:
+  * The per-iteration oracle evaluation at the top of the loop
+    (``ls_solver.rs:79``) and the *extra* post-step oracle call made by
+    quasi-Newton/SPG/projected-Newton solvers to form ``y = g+ - g``
+    (e.g. ``bfgs.rs:98``, ``spg.rs:130``) are the same evaluation one
+    iteration apart — the driver computes it once per iteration and carries
+    it, halving oracle work for those families.
+  * Convergence, domain, and iteration-budget checks live in the while-loop
+    *condition*, so a converged instance takes zero extra steps.  Status
+    precedence on exit matches the reference: the loop guard ``k < max_iter``
+    is tested first (``ls_solver.rs:78``), then the NaN/inf domain check
+    (``ls_solver.rs:37-40``), then per-solver convergence (``ls_solver.rs:81``).
+  * Everything is a pytree of fixed shape, so the whole ``minimize`` batches
+    under ``vmap`` (JAX's while-loop batching keeps per-lane predicates:
+    converged lanes freeze while the rest keep stepping) and shards under
+    ``pjit`` / ``shard_map`` over a device mesh.
+
+The loop pieces are exposed via :func:`make_step` (init / cond / body) so
+multi-chip harnesses and benchmarks can jit a single solver step directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from optimization_solvers_tpu.core.oracle import ensure_oracle
+from optimization_solvers_tpu.core.types import FuncEval, SolveResult, Status
+from optimization_solvers_tpu.linesearch.base import Bounds
+
+
+class SolverCarry(NamedTuple):
+    """While-loop carry: iterate, its evaluation, iteration count, method
+    state, line-search state."""
+
+    x: jax.Array
+    ev: FuncEval
+    k: jax.Array
+    mstate: Any
+    ls_state: Any
+
+
+def make_step(method, line_search, oracle, *, bounds: Bounds = None,
+              max_iter_ls: int = 100, callback=None):
+    """Build ``(init_fn, keep_going_fn, step_fn)`` for the solver loop.
+
+    ``init_fn(x0) -> SolverCarry`` (projects x0 for bounded methods and
+    seeds method/line-search state); ``keep_going_fn(carry) -> bool`` is the
+    domain + convergence predicate (without the iteration budget);
+    ``step_fn(carry) -> carry`` performs one full solver iteration
+    (direction -> line search -> iterate update -> state refresh).
+    """
+    oracle = ensure_oracle(oracle)
+
+    def init_fn(x0: jax.Array) -> SolverCarry:
+        x0 = method.prepare_x0(x0, bounds)
+        ev0 = oracle(x0)
+        return SolverCarry(
+            x0, ev0, jnp.int32(0),
+            method.init(x0, ev0, bounds),
+            line_search.init_state(ev0),
+        )
+
+    def keep_going_fn(c: SolverCarry):
+        in_domain = jnp.isfinite(c.ev.f)
+        return in_domain & ~method.converged(c.mstate, c.x, c.ev, bounds)
+
+    def step_fn(c: SolverCarry) -> SolverCarry:
+        d, mstate = method.direction(c.mstate, c.x, c.ev, bounds)
+        t, ls_state = line_search.step_len(
+            oracle, c.x, c.ev, d, c.ls_state, bounds, max_iter_ls
+        )
+        x_new = c.x + t * d
+        ev_new = oracle(x_new)
+        mstate = method.post_step(mstate, c.x, c.ev, d, t, x_new, ev_new, bounds)
+        if callback is not None:
+            jax.debug.callback(callback, c.k, x_new, ev_new.f)
+        return SolverCarry(x_new, ev_new, c.k + 1, mstate, ls_state)
+
+    return init_fn, keep_going_fn, step_fn
+
+
+def _result(final: SolverCarry, max_iter: int) -> SolveResult:
+    status = jnp.where(
+        final.k >= max_iter,
+        jnp.int32(Status.MAX_ITER_REACHED),
+        jnp.where(
+            ~jnp.isfinite(final.ev.f),
+            jnp.int32(Status.OUT_OF_DOMAIN),
+            jnp.int32(Status.CONVERGED),
+        ),
+    )
+    return SolveResult(final.x, final.ev.f, final.ev.g, final.k, status)
+
+
+def minimize(
+    method,
+    line_search,
+    oracle,
+    x0: jax.Array,
+    *,
+    bounds: Bounds = None,
+    max_iter: int = 1000,
+    max_iter_ls: int = 100,
+    callback=None,
+) -> SolveResult:
+    """Minimize ``oracle`` from ``x0``; the universal entry point
+    (reference ``ls_solver.rs:66-111``).
+
+    ``method`` is a solver config (direction rule + convergence test +
+    post-step state update), ``line_search`` a
+    :class:`~optimization_solvers_tpu.linesearch.LineSearch`.  ``callback``,
+    if given, is a host function ``(k, x, f) -> None`` invoked per iteration
+    via ``jax.debug.callback`` (the reference's per-iteration callback hook,
+    ``ls_solver.rs:105-107``) — it stays off the hot path when ``None``.
+
+    Returns a :class:`SolveResult`; wrap in ``jax.jit`` / ``jax.vmap`` freely.
+    """
+    init_fn, keep_going_fn, step_fn = make_step(
+        method, line_search, oracle,
+        bounds=bounds, max_iter_ls=max_iter_ls, callback=callback,
+    )
+
+    def cond(c: SolverCarry):
+        return (c.k < max_iter) & keep_going_fn(c)
+
+    final = lax.while_loop(cond, step_fn, init_fn(x0))
+    return _result(final, max_iter)
+
+
+def batch_minimize(
+    method,
+    line_search,
+    oracle,
+    x0: jax.Array,
+    *,
+    bounds: Bounds = None,
+    batched_bounds: bool = False,
+    **kwargs,
+) -> SolveResult:
+    """``vmap`` of :func:`minimize` over a leading batch axis of ``x0``.
+
+    This is the capability the single-instance reference lacks entirely
+    (SURVEY.md §2.5): thousands of instances advance in lockstep per chip;
+    converged lanes freeze (per-lane while-loop predicates) while active
+    lanes keep iterating.  Set ``batched_bounds=True`` if ``bounds`` carry a
+    matching leading batch axis.
+    """
+
+    def solve_one(x0_i, bounds_i):
+        return minimize(method, line_search, oracle, x0_i, bounds=bounds_i, **kwargs)
+
+    in_axes = (0, 0 if (bounds is not None and batched_bounds) else None)
+    return jax.vmap(solve_one, in_axes=in_axes)(x0, bounds)
+
+
+def make_solver(method, line_search, oracle, *, batched: bool = False, **kwargs):
+    """Close over static config and return a jitted ``x0 [, bounds] -> SolveResult``."""
+    fn = batch_minimize if batched else minimize
+
+    def solve(x0, bounds=None):
+        return fn(method, line_search, oracle, x0, bounds=bounds, **kwargs)
+
+    return jax.jit(solve)

@@ -1,0 +1,429 @@
+"""L-BFGS-B: limited-memory BFGS with box constraints, device-resident.
+
+TPU-native replacement for the reference's only native/FFI component — the
+Fortran ``setulb_`` reverse-communication loop driven from
+``/root/reference/src/quasi_newton/lbfgsb.rs:23-86``.  The reference crosses
+the Rust→Fortran ABI boundary every iteration with all state in caller-owned
+Fortran workspaces; here that control flow is inverted (SURVEY.md §3.3): the
+full Byrd-Lu-Nocedal-Zhu algorithm — limited-memory compact representation,
+generalized Cauchy point, primal subspace minimization, strong-Wolfe line
+search — runs as one ``lax.while_loop`` whose carry is a pytree of device
+arrays, so thousands of instances batch under ``vmap`` and shard over a mesh
+with zero host round-trips.
+
+Algorithm reference: R. H. Byrd, P. Lu, J. Nocedal, C. Zhu, "A limited
+memory algorithm for bound constrained optimization", SIAM J. Sci. Comput.
+16(5), 1995 (the same algorithm the Fortran implements):
+
+  * B_k = theta I - W M W^T with W = [Y  theta S] and
+    M^{-1} = [[-D, L^T], [L, theta S^T S]]  (paper eq. 3.3).
+  * Generalized Cauchy point: piecewise-quadratic minimization along the
+    projected steepest-descent path, walking sorted breakpoints
+    (paper alg. CP) — here a fixed-shape ``lax.while_loop`` over the argsort
+    of the breakpoints, O(m^2) work per examined segment.
+  * Subspace minimization: direct primal method with the Sherman-Morrison-
+    Woodbury inverse restricted to the free set (paper eqs. 5.4-5.11); the
+    free set is a mask, never a gather, so shapes stay static.
+  * Stopping: ``pgtol`` on the infinity norm of the projected gradient and
+    ``factr`` on the relative objective decrease — the exact semantics the
+    reference exposes via ``set_factr``/``set_pgtol``
+    (``lbfgsb.rs:139-145``), plus the wrapper's own
+    ``||pg||_inf <= 1e-10 * f`` rule (``lbfgsb.rs:67-72``) as
+    ``rel_pg_stop``.
+
+History slots are maintained chronologically by roll-and-write; invalid
+slots carry zero rows in W (so they cannot contribute) and are given unit
+diagonal entries in M^{-1} to keep it invertible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from optimization_solvers_tpu.core.numerics import (
+    box_projection,
+    dot as vdot,
+    infinity_norm,
+    matmat,
+    matvec,
+)
+from optimization_solvers_tpu.core.oracle import ensure_oracle
+from optimization_solvers_tpu.ops.smallchol import (
+    cholesky_small,
+    spd_solve_small,
+    spd_solve_small_mat,
+)
+from optimization_solvers_tpu.core.types import FuncEval, SolveResult, Status
+from optimization_solvers_tpu.linesearch.dcsrch import StrongWolfe
+
+
+class _History(NamedTuple):
+    S: jax.Array      # (m, n) correction steps, row m-1 newest
+    Y: jax.Array      # (m, n) gradient differences
+    valid: jax.Array  # (m,) bool
+    theta: jax.Array  # scalar B0 = theta I scaling
+
+
+class _Carry(NamedTuple):
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    hist: _History
+    f_prev: jax.Array
+    k: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LbfgsbConfig:
+    """Tolerance semantics follow the Fortran (``lbfgsb.rs:139-145``):
+    ``factr`` is multiplied by machine epsilon; typical values 1e12 (low
+    accuracy), 1e7 (moderate), 10 (extremely high).  ``m`` defaults to 5
+    (``lbfgsb.rs:91``), recommended range [3, 20] (``lbfgsb.rs:150-154``)."""
+
+    m: int = 5
+    factr: float = 1e7
+    pgtol: float = 1e-5
+    rel_pg_stop: bool = False   # reference wrapper rule: pg_inf <= 1e-10 * f
+    max_iter: int = 500
+    max_iter_ls: int = 20
+    ls_c1: float = 1e-3         # Fortran dcsrch ftol
+    ls_c2: float = 0.9          # Fortran dcsrch gtol
+    curvature_eps: float = 2.2e-16
+
+
+def _projected_gradient_norm(x, g, lower, upper):
+    """``||x - P(x - g)||_inf`` — the Fortran's ``sbgnrm``."""
+    return infinity_norm(x - box_projection(x - g, lower, upper))
+
+
+class _Mid(NamedTuple):
+    """Factorized middle operator: solves with
+    ``P = [[-E, G], [G^T, H]]`` via the SPD Schur complement
+    ``H + G^T E^{-1} G`` — the same block factorization the Fortran
+    ``formk`` maintains, built here from two unrolled small Choleskys
+    (no jnp.linalg in the hot loop: XLA's generic LU/Cholesky is slow to
+    compile under vmap on TPU and numerically bf16 at DEFAULT precision)."""
+
+    Ech: jax.Array   # (m, m) lower Cholesky of E
+    G: jax.Array     # (m, m)
+    Sch: jax.Array   # (m, m) lower Cholesky of H + G^T E^{-1} G
+
+
+def _mid_solve(mid: _Mid, ab: jax.Array) -> jax.Array:
+    """Solve ``P z = ab`` with the block elimination
+    u = E^{-1}(G v - a),  (H + G^T E^{-1} G) v = b + G^T E^{-1} a."""
+    m = mid.G.shape[-1]
+    a, b = ab[..., :m], ab[..., m:]
+    Einv_a = spd_solve_small(mid.Ech, a)
+    v = spd_solve_small(mid.Sch, b + matvec(jnp.swapaxes(mid.G, -1, -2), Einv_a))
+    u = spd_solve_small(mid.Ech, matvec(mid.G, v) - a)
+    return jnp.concatenate([u, v], axis=-1)
+
+
+def _equilibrated_inv(A: jax.Array) -> jax.Array:
+    """Inverse with symmetric Jacobi equilibration: scale rows/cols by
+    1/sqrt(|diag|) before LU so f32 survives the orders-of-magnitude spread
+    of the curvature diagonal (inv(S A S) = S^-1 A^-1 S^-1)."""
+    d = jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1))
+    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, A.dtype)))
+    As = A * s[..., :, None] * s[..., None, :]
+    return jnp.linalg.inv(As) * s[..., :, None] * s[..., None, :]
+
+
+def _middle_factors(hist: _History, free=None) -> _Mid:
+    """Factor the middle matrix ``MM = [[-D, L^T],[L, theta S^T S]]``
+    (paper eq. 3.3), or — given a free-variable mask — the subspace matrix
+    ``MM - W_F^T W_F / theta`` used by the SMW solve (paper eq. 5.10ff).
+    Invalid history slots get unit diagonal blocks; their W rows are zero
+    so they cannot contribute."""
+    S, Y, valid, theta = hist
+    m = S.shape[0]
+    dtype = S.dtype
+    D = jnp.sum(S * Y, axis=1)                              # (m,)
+    D = jnp.where(valid, D, jnp.ones_like(D))
+    SY = matmat(S, Y.T)                                     # SY[i,j] = s_i . y_j
+    L = jnp.tril(SY, k=-1)
+    SS = matmat(S, S.T)
+    if free is None:
+        E = jnp.diag(D)
+        G = L.T
+        H = theta * SS
+    else:
+        YF = Y * free[None, :]
+        SF = S * free[None, :]
+        E = jnp.diag(D) + matmat(YF, YF.T) / theta
+        G = L.T - matmat(YF, SF.T)
+        H = theta * (SS - matmat(SF, SF.T))
+    H = H + jnp.diag(jnp.where(valid, jnp.zeros((m,), dtype), jnp.ones((m,), dtype)))
+    Ech = cholesky_small(E)
+    EinvG = spd_solve_small_mat(Ech, G)
+    schur = H + matmat(jnp.swapaxes(G, -1, -2), EinvG)
+    return _Mid(Ech, G, cholesky_small(schur))
+
+
+def _build_middle(hist: _History):
+    """W (as rows: (2m, n)) and the dense middle inverse M = MM^{-1}.
+
+    The Schur-factorized solver (:func:`_middle_factors`) is numerically
+    ideal but its unrolled scalar updates compile pathologically slowly
+    under Mosaic inside the Cauchy while-loop; the explicit equilibrated
+    inverse keeps XLA's fast batched LU while taming the f32 conditioning.
+    """
+    S, Y, valid, theta = hist
+    m = S.shape[0]
+    dtype = S.dtype
+    Wt = jnp.concatenate([Y, theta * S], axis=0)            # (2m, n)
+    D = jnp.sum(S * Y, axis=1)
+    D = jnp.where(valid, D, jnp.ones_like(D))
+    SY = matmat(S, Y.T)
+    L = jnp.tril(SY, k=-1)
+    SS = matmat(S, S.T)
+    SS = SS + jnp.diag(jnp.where(valid, jnp.zeros((m,), dtype), jnp.ones((m,), dtype)))
+    MM = jnp.block([[-jnp.diag(D), L.T], [L, theta * SS]])
+    return Wt, _equilibrated_inv(MM)
+
+
+def _cauchy_point(x, g, lower, upper, Wt, M, theta):
+    """Generalized Cauchy point (paper alg. CP).  Returns
+    ``(xcp, c, free_mask)`` with ``c = W^T (xcp - x)``."""
+    n = x.shape[-1]
+    dtype = x.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    # breakpoints along the projected steepest-descent path (paper eq. 4.1)
+    t_break = jnp.where(
+        g < 0.0,
+        (x - upper) / g,
+        jnp.where(g > 0.0, (x - lower) / g, jnp.inf),
+    )
+    d0 = jnp.where(t_break > 0.0, -g, jnp.zeros_like(g))
+
+    # variables with t_i <= 0 are fixed from the start and never examined
+    sort_keys = jnp.where(t_break > 0.0, t_break, jnp.inf)
+    order = jnp.argsort(sort_keys)
+    t_sorted = sort_keys[order]
+
+    def seg_min(f1, f2):
+        return jnp.where(
+            f2 > eps,
+            -f1 / f2,
+            jnp.where(f1 < 0.0, jnp.asarray(jnp.inf, dtype), jnp.zeros((), dtype)),
+        )
+
+    p0 = matvec(Wt, d0)
+    f1_0 = -vdot(d0, d0)
+    f2_0 = -theta * f1_0 - vdot(p0, matvec(M, p0))
+    dt_min0 = seg_min(f1_0, f2_0)
+
+    def cond(carry):
+        j, d, xcp, fixed, c, p, f1, f2, dt_min, t_old = carry
+        jc = jnp.minimum(j, n - 1)
+        t_b = t_sorted[jc]
+        return (j < n) & jnp.isfinite(t_b) & (dt_min >= t_b - t_old)
+
+    def body(carry):
+        j, d, xcp, fixed, c, p, f1, f2, dt_min, t_old = carry
+        b = order[jnp.minimum(j, n - 1)]
+        t_b = t_sorted[jnp.minimum(j, n - 1)]
+        dt = t_b - t_old
+
+        gb = g[b]
+        bound_b = jnp.where(d[b] > 0.0, upper[b], lower[b])
+        zb = bound_b - x[b]
+        wb = Wt[:, b]
+
+        c = c + dt * p
+        Mc = matvec(M, c)
+        Mp = matvec(M, p)
+        Mw = matvec(M, wb)
+        f1 = f1 + dt * f2 + gb * gb + theta * gb * zb - gb * vdot(wb, Mc)
+        f2 = f2 - theta * gb * gb - 2.0 * gb * vdot(wb, Mp) - gb * gb * vdot(wb, Mw)
+        p = p + gb * wb
+        d = d.at[b].set(0.0)
+        xcp = xcp.at[b].set(bound_b)
+        fixed = fixed.at[b].set(True)
+        return (j + 1, d, xcp, fixed, c, p, f1, f2, seg_min(f1, f2), t_b)
+
+    init = (
+        jnp.int32(0),
+        d0,
+        x,
+        jnp.zeros((n,), bool),
+        jnp.zeros(Wt.shape[:1], dtype),
+        p0,
+        f1_0,
+        f2_0,
+        dt_min0,
+        jnp.zeros((), dtype),
+    )
+    j, d, xcp, fixed, c, p, f1, f2, dt_min, t_old = lax.while_loop(cond, body, init)
+
+    dt_min = jnp.maximum(dt_min, 0.0)
+    t_cp = t_old + dt_min
+    c = c + dt_min * p
+    xcp = jnp.where(fixed, xcp, x + t_cp * d)
+    free = (t_break > 0.0) & ~fixed
+    return xcp, c, free
+
+
+def _subspace_step(x, g, xcp, c, free, lower, upper, hist, Wt, M):
+    """Direct primal subspace minimization (paper §5.1) with SMW inverse;
+    returns the search point ``xbar`` (free coords moved, alpha-clipped to
+    the box)."""
+    dtype = x.dtype
+    theta = hist.theta
+
+    # reduced gradient of the model at xcp (paper eq. 5.4)
+    r = g + theta * (xcp - x) - matvec(Wt.T, matvec(M, c))
+    rF = jnp.where(free, r, jnp.zeros_like(r))
+
+    # (B restricted to free)^{-1} r via SMW (paper eq. 5.10):
+    # d = r/theta + W_F (I - M W_F^T W_F/theta)^{-1} M W_F^T r / theta^2
+    WtF = Wt * free[None, :]
+    two_m = Wt.shape[0]
+    K = matmat(WtF, WtF.T)
+    N = jnp.eye(two_m, dtype=dtype) - matmat(M, K) / theta
+    v = matvec(_equilibrated_inv(N), matvec(M, matvec(WtF, rF)))
+    dvec = rF / theta + jnp.where(free, matvec(Wt.T, v), 0.0) / (theta * theta)
+    du = -dvec
+
+    # alpha* : largest step in [0, 1] keeping free coords in the box
+    # (paper eq. 5.8)
+    pos = (upper - xcp) / du
+    neg = (lower - xcp) / du
+    steps = jnp.where(du > 0.0, pos, jnp.where(du < 0.0, neg, jnp.inf))
+    steps = jnp.where(free, steps, jnp.inf)
+    steps = jnp.where(jnp.isnan(steps), jnp.inf, steps)
+    alpha = jnp.minimum(jnp.asarray(1.0, dtype), jnp.min(steps))
+
+    return xcp + alpha * jnp.where(free, du, jnp.zeros_like(du))
+
+
+def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
+                     config: LbfgsbConfig = LbfgsbConfig()):
+    """Build ``(init_fn, keep_going_fn, step_fn)`` for the L-BFGS-B loop —
+    one ``step_fn`` call is a full outer iteration (Cauchy point, subspace
+    minimization, line search, history update)."""
+    oracle = ensure_oracle(oracle)
+    cfg = config
+
+    # the Fortran L-BFGS-B drives MINPACK-2 dcsrch; StrongWolfe is its
+    # batched equivalent, with the max feasible step to the boundary as stpmx
+    ls = StrongWolfe(c1=cfg.ls_c1, c2=cfg.ls_c2, bounded=True)
+
+    def init_fn(x0: jax.Array) -> _Carry:
+        dtype = x0.dtype
+        n = x0.shape[-1]
+        x0 = box_projection(x0, lower, upper)
+        ev0 = oracle(x0)
+        hist0 = _History(
+            S=jnp.zeros((cfg.m, n), dtype),
+            Y=jnp.zeros((cfg.m, n), dtype),
+            valid=jnp.zeros((cfg.m,), bool),
+            theta=jnp.asarray(1.0, dtype),
+        )
+        return _Carry(
+            x0, ev0.f, ev0.g, hist0, jnp.asarray(jnp.inf, dtype), jnp.int32(0)
+        )
+
+    def converged(c: _Carry):
+        dtype = c.f.dtype
+        f_rtol = cfg.factr * float(jnp.finfo(dtype).eps)
+        pg = _projected_gradient_norm(c.x, c.g, lower, upper)
+        done = pg <= cfg.pgtol
+        if cfg.rel_pg_stop:
+            # reference wrapper stopping rule (lbfgsb.rs:67-72)
+            done = done | (pg <= 1e-10 * c.f)
+        # relative objective decrease (Fortran factr semantics); inactive
+        # until one step has completed (f_prev starts at +inf)
+        fmax = jnp.maximum(jnp.maximum(jnp.abs(c.f), jnp.abs(c.f_prev)), 1.0)
+        done = done | (
+            jnp.isfinite(c.f_prev) & ((c.f_prev - c.f) <= f_rtol * fmax)
+        )
+        return done
+
+    def keep_going_fn(c: _Carry):
+        return jnp.isfinite(c.f) & ~converged(c)
+
+    def step_fn(c: _Carry):
+        dtype = c.x.dtype
+        Wt, M = _build_middle(c.hist)
+        xcp, cc, free = _cauchy_point(
+            c.x, c.g, lower, upper, Wt, M, c.hist.theta
+        )
+        xbar = _subspace_step(
+            c.x, c.g, xcp, cc, free, lower, upper, c.hist, Wt, M
+        )
+        d = xbar - c.x
+
+        ev_k = FuncEval(c.f, c.g)
+        t, _ = ls.step_len(
+            oracle, c.x, ev_k, d, None, (lower, upper), cfg.max_iter_ls,
+        )
+        x_new = c.x + t * d
+        ev_new = oracle(x_new)
+
+        # a numerically-poisoned step (non-finite iterate/eval) must not
+        # kill the lane: keep the current point, skip the pair, and let the
+        # factr stall test terminate with the best iterate found
+        ok = jnp.all(jnp.isfinite(x_new)) & jnp.isfinite(ev_new.f) & jnp.all(
+            jnp.isfinite(ev_new.g)
+        )
+        x_new = jnp.where(ok, x_new, c.x)
+        ev_new = FuncEval(
+            jnp.where(ok, ev_new.f, c.f), jnp.where(ok, ev_new.g, c.g)
+        )
+
+        s = x_new - c.x
+        y = ev_new.g - c.g
+        sy = vdot(s, y)
+        yy = vdot(y, y)
+        accept = ok & (sy > cfg.curvature_eps * yy)
+        hist = c.hist
+        S = jnp.roll(hist.S, -1, axis=0).at[-1].set(s)
+        Y = jnp.roll(hist.Y, -1, axis=0).at[-1].set(y)
+        valid = jnp.roll(hist.valid, -1).at[-1].set(True)
+        theta = yy / sy
+        hist = _History(
+            S=jnp.where(accept, S, hist.S),
+            Y=jnp.where(accept, Y, hist.Y),
+            valid=jnp.where(accept, valid, hist.valid),
+            theta=jnp.where(accept, theta, hist.theta),
+        )
+        return _Carry(x_new, ev_new.f, ev_new.g, hist, c.f, c.k + 1)
+
+    return init_fn, keep_going_fn, step_fn
+
+
+def lbfgsb_minimize(
+    oracle,
+    x0: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    config: LbfgsbConfig = LbfgsbConfig(),
+) -> SolveResult:
+    """Minimize with L-BFGS-B; single instance (wrap in ``vmap`` to batch,
+    ``jit`` to compile)."""
+    cfg = config
+    init_fn, keep_going_fn, step_fn = make_lbfgsb_step(oracle, lower, upper, cfg)
+
+    def cond(c: _Carry):
+        return (c.k < cfg.max_iter) & keep_going_fn(c)
+
+    final = lax.while_loop(cond, step_fn, init_fn(x0))
+
+    status = jnp.where(
+        final.k >= cfg.max_iter,
+        jnp.int32(Status.MAX_ITER_REACHED),
+        jnp.where(
+            ~jnp.isfinite(final.f),
+            jnp.int32(Status.OUT_OF_DOMAIN),
+            jnp.int32(Status.CONVERGED),
+        ),
+    )
+    return SolveResult(final.x, final.f, final.g, final.k, status)

@@ -1,0 +1,156 @@
+"""Dense quasi-Newton family (reference ``/root/reference/src/quasi_newton/``):
+BFGS, DFP, Broyden ("bad" rank-1 on the inverse), their box-constrained
+twins BFGSB/DFPB/BroydenB, and the bounded-only SR1B (the reference has no
+unbounded SR1, ``lib.rs:60-61``).
+
+All maintain a dense approximate *inverse* Hessian ``B ~ H^{-1}`` seeded at
+identity, with direction ``-B g`` (projected variants:
+``P_box(x - B g) - x``), the shared "iterate/gradient didn't move" early
+exits (``bfgs.rs:15-26,64-76``), and a rank-1/rank-2 post-step update that is
+skipped when the correction pair is too small (``bfgs.rs:104-112``).
+
+TPU notes: the updates are expressed as fused outer-product matmuls so XLA
+maps them onto the MXU; under ``vmap`` they become batched (B, n, n)
+einsums.  The BFGS two-sided update is algebraically expanded to avoid
+materializing the two (n, n) ``I - rho s y^T`` factors the reference builds
+(``bfgs.rs:114-124``):
+
+    B' = B - rho (s (B^T y)^T + (B y) s^T) + rho^2 (y^T B y) s s^T + rho s s^T
+
+which costs two matvecs + three rank-1 updates instead of two n x n matmuls
+— O(n^2) instead of O(n^3) per iteration, a strict improvement with
+identical semantics (for symmetric B, B^T y = B y).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from optimization_solvers_tpu.core.numerics import box_projection, dot as vdot, matvec
+from optimization_solvers_tpu.linesearch.base import Bounds
+from optimization_solvers_tpu.solvers.base import BoundedMethod, Method
+
+
+class _QNState(NamedTuple):
+    B: jax.Array       # (n, n) approximate inverse Hessian
+    s_norm: jax.Array
+    y_norm: jax.Array
+
+
+def _bfgs_update(B, s, y, rho):
+    """Nocedal-Wright eq. 2.21, expanded (see module docstring)."""
+    By = matvec(B, y)
+    yBy = vdot(y, By)
+    ss = jnp.outer(s, s)
+    return B - rho * (jnp.outer(s, By) + jnp.outer(By, s)) + (rho * rho * yBy + rho) * ss
+
+
+def _dfp_update(B, s, y, sy):
+    """``B += s s^T / s.y - (B y)(B y)^T / (y^T B y)`` (``dfp.rs:114-120``)."""
+    By = matvec(B, y)
+    return B + jnp.outer(s, s) / sy - jnp.outer(By, By) / vdot(y, By)
+
+
+def _broyden_update(B, s, y, sy):
+    """"Bad" Broyden rank-1 on the inverse:
+    ``B += (s - B y) (B^T s)^T / s.y`` (``broyden.rs:114-118``)."""
+    By = matvec(B, y)
+    return B + jnp.outer(s - By, matvec(B.T, s)) / sy
+
+
+def _sr1_update(B, s, y, sy):
+    """SR1: ``B += (s - B y)(s - B y)^T / (s - B y).y`` (``sr1_b.rs:143-147``)."""
+    shy = s - matvec(B, y)
+    return B + jnp.outer(shy, shy) / vdot(shy, y)
+
+
+_UPDATES = {
+    "bfgs": lambda B, s, y, sy: _bfgs_update(B, s, y, 1.0 / sy),
+    "dfp": _dfp_update,
+    "broyden": _broyden_update,
+    "sr1": _sr1_update,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class _QuasiNewtonCommon:
+    """Shared quasi-Newton machinery; ``update`` picks the B-update rule."""
+
+    tol: float = 1e-8
+    update: str = "bfgs"
+
+    def init(self, x, ev, bounds: Bounds):
+        n = x.shape[-1]
+        inf = jnp.asarray(jnp.inf, x.dtype)
+        return _QNState(jnp.eye(n, dtype=x.dtype), inf, inf)
+
+    def converged(self, mstate: _QNState, x, ev, bounds: Bounds):
+        # s/y-too-close early exits, then the 2-norm gradient test
+        # (bfgs.rs:64-76 — note: 2-norm here, unlike the infinity norm of
+        # the steepest-descent family)
+        too_close = (mstate.s_norm < self.tol) | (mstate.y_norm < self.tol)
+        return too_close | (jnp.linalg.norm(ev.g) < self.tol)
+
+    def post_step(self, mstate: _QNState, x, ev, d, t, x_new, ev_new, bounds):
+        s = x_new - x
+        y = ev_new.g - ev.g
+        s_norm = jnp.linalg.norm(s)
+        y_norm = jnp.linalg.norm(y)
+        skip = (s_norm < self.tol) | (y_norm < self.tol)
+        B_new = _UPDATES[self.update](mstate.B, s, y, vdot(s, y))
+        # freeze B when the correction pair is degenerate (bfgs.rs:104-112);
+        # also guard against non-finite updates poisoning a frozen lane
+        B_new = jnp.where(skip, mstate.B, B_new)
+        return _QNState(B_new, s_norm, y_norm)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuasiNewton(_QuasiNewtonCommon, Method):
+    """Unconstrained quasi-Newton: direction ``-B g`` (``bfgs.rs:42-49``)."""
+
+    def direction(self, mstate: _QNState, x, ev, bounds: Bounds):
+        return -matvec(mstate.B, ev.g), mstate
+
+
+@dataclasses.dataclass(frozen=True)
+class QuasiNewtonB(_QuasiNewtonCommon, BoundedMethod):
+    """Box-constrained quasi-Newton: ``d = P_box(x - B g) - x``
+    (``bfgs_b.rs:66-77``); x0 projected at construction (``bfgs_b.rs:50``).
+    Note: convergence still tests the raw gradient 2-norm, exactly like the
+    reference (``bfgs_b.rs:92-104``), not the projected gradient."""
+
+    def direction(self, mstate: _QNState, x, ev, bounds: Bounds):
+        return box_projection(x - matvec(mstate.B, ev.g), *bounds) - x, mstate
+
+
+def BFGS(tol: float = 1e-8) -> QuasiNewton:
+    return QuasiNewton(tol=tol, update="bfgs")
+
+
+def DFP(tol: float = 1e-8) -> QuasiNewton:
+    return QuasiNewton(tol=tol, update="dfp")
+
+
+def Broyden(tol: float = 1e-8) -> QuasiNewton:
+    return QuasiNewton(tol=tol, update="broyden")
+
+
+def BFGSB(tol: float = 1e-8) -> QuasiNewtonB:
+    return QuasiNewtonB(tol=tol, update="bfgs")
+
+
+def DFPB(tol: float = 1e-8) -> QuasiNewtonB:
+    return QuasiNewtonB(tol=tol, update="dfp")
+
+
+def BroydenB(tol: float = 1e-8) -> QuasiNewtonB:
+    return QuasiNewtonB(tol=tol, update="broyden")
+
+
+def SR1B(tol: float = 1e-8) -> QuasiNewtonB:
+    """SR1 exists only in bounded form in the reference (``lib.rs:60-61``)."""
+    return QuasiNewtonB(tol=tol, update="sr1")

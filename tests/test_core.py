@@ -1,0 +1,82 @@
+"""Core layer tests: numerics (ref number.rs), FuncEval, oracle factory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_solvers_tpu.core.numerics import (
+    box_projection,
+    infinity_norm,
+    projected_gradient,
+    rust_clamp,
+    rust_max,
+    rust_min,
+)
+from optimization_solvers_tpu.core.oracle import ensure_oracle, make_oracle
+from optimization_solvers_tpu.core.types import FuncEval
+from optimization_solvers_tpu.core import problems
+
+
+def test_box_projection():
+    x = jnp.array([-3.0, 0.5, 7.0])
+    lo = jnp.array([-1.0, -1.0, -1.0])
+    hi = jnp.array([1.0, 1.0, 1.0])
+    np.testing.assert_allclose(box_projection(x, lo, hi), [-1.0, 0.5, 1.0])
+
+
+def test_infinity_norm():
+    assert infinity_norm(jnp.array([1.0, -5.0, 3.0])) == 5.0
+
+
+def test_projected_gradient_masks_active_bounds():
+    # ls_solver.rs:121-133: zero components pushing against an active bound
+    x = jnp.array([0.0, 1.0, 0.5])
+    lo = jnp.array([0.0, 0.0, 0.0])
+    hi = jnp.array([1.0, 1.0, 1.0])
+    g = jnp.array([2.0, -2.0, 2.0])  # pushing out at lower(0) / upper(1)
+    pg = projected_gradient(g, x, lo, hi)
+    np.testing.assert_allclose(pg, [0.0, 0.0, 2.0])
+    # gradients pointing inward are kept
+    g2 = jnp.array([-2.0, 2.0, 2.0])
+    np.testing.assert_allclose(projected_gradient(g2, x, lo, hi), g2)
+
+
+def test_rust_min_max_nan_semantics():
+    nan = jnp.float64(jnp.nan)
+    assert rust_min(nan, jnp.float64(2.0)) == 2.0
+    assert rust_max(nan, jnp.float64(2.0)) == 2.0
+    assert rust_min(jnp.float64(1.0), nan) == 1.0
+    assert jnp.isnan(rust_min(nan, nan))
+    assert rust_clamp(nan, 0.0, 5.0) == 0.0
+    assert rust_clamp(jnp.float64(7.0), 0.0, 5.0) == 5.0
+
+
+def test_make_oracle_grad_and_hessian():
+    f = problems.quadratic_2d(90.0)
+    oracle = make_oracle(f, with_hessian=True)
+    x = jnp.array([2.0, 3.0])
+    ev = oracle(x)
+    assert abs(ev.f - 0.5 * (4.0 + 90.0 * 9.0)) < 1e-12
+    np.testing.assert_allclose(ev.g, [2.0, 270.0])
+    np.testing.assert_allclose(ev.hessian, [[1.0, 0.0], [0.0, 90.0]])
+    # value-only path skips gradient work but agrees
+    assert oracle.value(x) == ev.f
+
+
+def test_ensure_oracle_wraps_analytic_closure():
+    # the reference seam: user-supplied analytic (f, g) closures
+    def analytic(x):
+        return FuncEval(0.5 * (x[0] ** 2 + 90.0 * x[1] ** 2),
+                        jnp.array([x[0], 90.0 * x[1]]))
+
+    oracle = ensure_oracle(analytic)
+    ev = oracle(jnp.array([1.0, 1.0]))
+    assert abs(ev.f - 45.5) < 1e-12
+    np.testing.assert_allclose(ev.g, [1.0, 90.0])
+
+
+def test_problems_known_minima():
+    ros = problems.rosenbrock()
+    assert ros(jnp.ones(100)) == 0.0
+    bowl = exp = problems.exp_bowl()
+    assert exp(jnp.zeros(2)) == 1.0

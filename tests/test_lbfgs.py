@@ -1,0 +1,162 @@
+"""L-BFGS (two-loop) and L-BFGS-B (Byrd-Lu-Nocedal-Zhu) tests.
+
+The L-BFGS-B implementation replaces the reference's Fortran ``setulb_``
+FFI (``/root/reference/src/quasi_newton/lbfgsb.rs``); where scipy is
+available its (same-ancestry) L-BFGS-B is used as a cross-check oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimization_solvers_tpu.core import problems
+from optimization_solvers_tpu.core.oracle import make_oracle
+from optimization_solvers_tpu.core.types import Status
+from optimization_solvers_tpu import linesearch as ls
+from optimization_solvers_tpu import solvers
+from optimization_solvers_tpu.solvers.lbfgsb import LbfgsbConfig, lbfgsb_minimize
+
+
+# --- unbounded two-loop L-BFGS ------------------------------------------------
+
+def test_lbfgs_quadratic():
+    res = solvers.minimize(
+        solvers.LBFGS(tol=1e-6, m=10),
+        ls.MoreThuente(),
+        make_oracle(problems.quadratic_2d(90.0)),
+        jnp.array([180.0, 152.0]),
+        max_iter=200,
+    )
+    assert res.status == Status.CONVERGED
+    assert res.f < 1e-6
+
+
+def test_lbfgs_rosenbrock_10():
+    res = solvers.minimize(
+        solvers.LBFGS(tol=1e-5, m=10),
+        ls.MoreThuente(),
+        make_oracle(problems.rosenbrock()),
+        jnp.full(10, -1.2),
+        max_iter=500,
+    )
+    assert res.status == Status.CONVERGED
+    np.testing.assert_allclose(res.x, jnp.ones(10), atol=1e-4)
+
+
+def test_lbfgs_matches_bfgs_small():
+    # with m >= iterations, L-BFGS reproduces full BFGS trajectories closely
+    oracle = make_oracle(problems.example_bfgs())
+    x0 = jnp.array([10.0, -8.0, 6.0])
+    r1 = solvers.minimize(solvers.LBFGS(tol=1e-8, m=20), ls.MoreThuente(),
+                          oracle, x0, max_iter=100)
+    assert r1.status == Status.CONVERGED
+    assert r1.f < 1e-10
+
+
+# --- L-BFGS-B -----------------------------------------------------------------
+
+def test_lbfgsb_unbounded_rosenbrock():
+    n = 25
+    lower = jnp.full(n, -jnp.inf)
+    upper = jnp.full(n, jnp.inf)
+    res = lbfgsb_minimize(
+        make_oracle(problems.rosenbrock()),
+        jnp.full(n, -1.2),
+        lower, upper,
+        LbfgsbConfig(m=10, pgtol=1e-7, factr=10.0, max_iter=1000),
+    )
+    assert res.status == Status.CONVERGED
+    np.testing.assert_allclose(res.x, jnp.ones(n), atol=1e-4)
+
+
+def test_lbfgsb_active_bounds_quadratic():
+    # min (x-2)^2 + (y-3)^2 s.t. x,y <= 1 -> (1,1), f = 5
+    lower = jnp.array([-jnp.inf, -jnp.inf])
+    upper = jnp.array([1.0, 1.0])
+    res = lbfgsb_minimize(
+        make_oracle(problems.shifted_quadratic_2d()),
+        jnp.array([0.0, 0.0]),
+        lower, upper,
+        LbfgsbConfig(m=5, pgtol=1e-8, factr=10.0, max_iter=200),
+    )
+    assert res.status == Status.CONVERGED
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-6)
+    assert abs(res.f - 5.0) < 1e-6
+
+
+def test_lbfgsb_bound_active_at_gamma1e9():
+    # spg.rs test geometry: gamma=1e9 quadratic on [-1, 47]^2
+    lower = jnp.array([-1.0, -1.0])
+    upper = jnp.array([47.0, 47.0])
+    res = lbfgsb_minimize(
+        make_oracle(problems.quadratic_2d(1e9)),
+        jnp.array([40.0, 30.0]),
+        lower, upper,
+        LbfgsbConfig(m=5, pgtol=1e-7, factr=10.0, max_iter=500),
+    )
+    assert res.status == Status.CONVERGED
+    assert res.f < 1e-6
+
+
+def test_lbfgsb_starts_outside_box():
+    # x0 projected into the box at construction (lbfgsb semantics)
+    lower = jnp.array([2.0, 2.0])
+    upper = jnp.array([5.0, 5.0])
+    res = lbfgsb_minimize(
+        make_oracle(problems.example_gd()),
+        jnp.array([-10.0, 10.0]),
+        lower, upper,
+        LbfgsbConfig(m=5, pgtol=1e-8, max_iter=200),
+    )
+    assert res.status == Status.CONVERGED
+    np.testing.assert_allclose(res.x, [2.0, 2.0], atol=1e-6)
+
+
+def test_lbfgsb_vmap_batch():
+    n = 10
+    lower = jnp.full(n, -2.0)
+    upper = jnp.full(n, 2.0)
+    oracle = make_oracle(problems.rosenbrock())
+    cfg = LbfgsbConfig(m=5, pgtol=1e-6, factr=10.0, max_iter=500)
+
+    x0s = jnp.stack([jnp.full(n, -1.2), jnp.zeros(n), jnp.full(n, 1.5)])
+    batched = jax.vmap(
+        lambda x0: lbfgsb_minimize(oracle, x0, lower, upper, cfg)
+    )(x0s)
+    for i in range(x0s.shape[0]):
+        single = lbfgsb_minimize(oracle, x0s[i], lower, upper, cfg)
+        np.testing.assert_allclose(batched.x[i], single.x, atol=0)
+        assert batched.iterations[i] == single.iterations
+
+
+def test_lbfgsb_against_scipy():
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    n = 12
+    rng = np.random.RandomState(0)
+    x0 = rng.uniform(-2, 2, n)
+    lower = np.full(n, -1.5)
+    upper = np.full(n, 1.5)
+
+    def f_np(x):
+        return float(np.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                            + (1.0 - x[:-1]) ** 2))
+
+    def g_np(x):
+        g = np.zeros_like(x)
+        g[:-1] = -400.0 * x[:-1] * (x[1:] - x[:-1] ** 2) - 2.0 * (1.0 - x[:-1])
+        g[1:] += 200.0 * (x[1:] - x[:-1] ** 2)
+        return g
+
+    ref_x, ref_f, info = scipy_opt.fmin_l_bfgs_b(
+        f_np, x0.copy(), fprime=g_np, bounds=list(zip(lower, upper)),
+        m=10, factr=10.0, pgtol=1e-9)
+
+    res = lbfgsb_minimize(
+        make_oracle(problems.rosenbrock()),
+        jnp.asarray(x0),
+        jnp.asarray(lower), jnp.asarray(upper),
+        LbfgsbConfig(m=10, pgtol=1e-9, factr=10.0, max_iter=2000),
+    )
+    assert abs(float(res.f) - ref_f) < 1e-6 * max(1.0, abs(ref_f))
+    np.testing.assert_allclose(res.x, ref_x, atol=1e-4)

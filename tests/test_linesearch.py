@@ -1,0 +1,131 @@
+"""Line-search layer tests, mirroring the reference's hand-rolled GD loops
+driving the searches directly (backtracking.rs:61-114, morethuente.rs:300-353)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_solvers_tpu.core import problems
+from optimization_solvers_tpu.core.oracle import make_oracle
+from optimization_solvers_tpu import linesearch as ls
+
+
+def _drive_gd(search, f, x0, bounds=None, max_iter=1000, tol=1e-12):
+    """Hand-rolled gradient descent driving the line search directly."""
+    oracle = make_oracle(f)
+    x = jnp.asarray(x0)
+    state = search.init_state(oracle(x))
+    for k in range(max_iter):
+        ev = oracle(x)
+        if float(ev.g @ ev.g) < tol:
+            break
+        d = -ev.g
+        t, state = search.step_len(oracle, x, ev, d, state, bounds, 1000)
+        x = x + t * d
+    return x, k
+
+
+def test_backtracking_gd_gamma90():
+    x, k = _drive_gd(ls.BackTracking(c1=1e-4, beta=0.5),
+                     problems.quadratic_2d(90.0), [180.0, 152.0])
+    assert abs(float(x[0])) < 1e-6
+
+
+def test_morethuente_gd_gamma90():
+    x, k = _drive_gd(ls.MoreThuente(), problems.quadratic_2d(90.0),
+                     [180.0, 152.0])
+    assert abs(float(x[0])) < 1e-6
+
+
+def test_morethuente_accepts_exact_step_on_sphere():
+    # on f = 0.5 ||x||^2, the exact minimizer along -g is t = 1: strong
+    # Wolfe holds at the first trial and phi'(1) = 0
+    oracle = make_oracle(problems.quadratic_2d(1.0))
+    x = jnp.array([3.0, 4.0])
+    ev = oracle(x)
+    t, _ = ls.MoreThuente().step_len(oracle, x, ev, -ev.g, None, None, 100)
+    assert abs(float(t) - 1.0) < 1e-12
+
+
+def test_backtracking_shrinks_until_armijo():
+    # steep quadratic: t=1 overshoots badly, beta-shrinking must kick in
+    oracle = make_oracle(problems.quadratic_2d(1000.0))
+    x = jnp.array([1.0, 1.0])
+    ev = oracle(x)
+    t, _ = ls.BackTracking(c1=1e-4, beta=0.5).step_len(
+        oracle, x, ev, -ev.g, None, None, 100)
+    f_new = oracle.value(x + t * (-ev.g))
+    assert float(f_new) < float(ev.f)
+    assert 0.0 < float(t) < 1.0
+
+
+def test_backtracking_nan_shrink_does_not_consume_iterations():
+    # out-of-domain trials shrink without consuming the iteration budget
+    # (backtracking.rs:37-41)
+    def f(x):
+        # domain x < 1.25: beyond that, NaN
+        return jnp.where(x[0] < 1.25, (x[0] - 1.0) ** 2, jnp.nan)
+
+    oracle = make_oracle(f)
+    x = jnp.array([0.0])
+    ev = oracle(x)  # g = -2, d = +2 -> t=1 lands at 2.0 (NaN), shrink
+    t, _ = ls.BackTracking(c1=1e-4, beta=0.5).step_len(
+        oracle, x, ev, -ev.g, None, None, 50)
+    x_new = x + t * (-ev.g)
+    assert jnp.isfinite(oracle.value(x_new))
+    assert float(x_new[0]) < 1.25
+
+
+def test_backtracking_b_projects_candidates():
+    bounds = (jnp.array([-1.0, -1.0]), jnp.array([1.0, 1.0]))
+    oracle = make_oracle(problems.shifted_quadratic_2d())
+    x = jnp.array([0.0, 0.0])
+    ev = oracle(x)
+    d = -ev.g  # points to (4, 6), outside the box
+    t, _ = ls.BackTrackingB(c1=1e-4, beta=0.5).step_len(
+        oracle, x, ev, d, None, bounds, 100)
+    assert float(t) > 0.0
+
+
+def test_morethuente_b_respects_boundary():
+    # the max feasible step caps t so x + t d stays in the box
+    bounds = (jnp.array([-1.0, -1.0]), jnp.array([1.0, 1.0]))
+    oracle = make_oracle(problems.shifted_quadratic_2d())
+    x = jnp.array([0.0, 0.0])
+    ev = oracle(x)
+    d = -ev.g
+    mt = ls.MoreThuenteB()
+    t, _ = mt.step_len(oracle, x, ev, d, mt.init_state(ev), bounds, 100)
+    x_new = x + float(t) * d
+    assert jnp.all(x_new <= bounds[1] + 1e-12) and jnp.all(x_new >= bounds[0] - 1e-12)
+
+
+def test_gll_nonmonotone_history():
+    # GLL with m>1 accepts steps a monotone Armijo would reject after a
+    # large previous f value enters the history
+    search = ls.GLLQuadratic(c1=1e-4, m=5)
+    x, k = _drive_gd(search, problems.quadratic_2d(90.0), [180.0, 152.0])
+    assert abs(float(x[0])) < 1e-6
+
+
+def test_nosearch_returns_unit_step():
+    oracle = make_oracle(problems.quadratic_2d(1.0))
+    x = jnp.array([1.0, 1.0])
+    ev = oracle(x)
+    t, _ = ls.NoSearch().step_len(oracle, x, ev, -ev.g, None, None, 100)
+    assert float(t) == 1.0
+
+
+def test_linesearch_vmaps():
+    # the whole search batches under vmap with per-lane accept masks
+    oracle = make_oracle(problems.quadratic_2d(90.0))
+    xs = jnp.array([[180.0, 152.0], [1.0, 1.0], [0.1, -0.2]])
+
+    def one(x):
+        ev = oracle(x)
+        t, _ = ls.MoreThuente().step_len(oracle, x, ev, -ev.g, None, None, 50)
+        return t
+
+    ts_batched = jax.vmap(one)(xs)
+    for i in range(xs.shape[0]):
+        np.testing.assert_allclose(ts_batched[i], one(xs[i]), rtol=1e-15)
