@@ -14,6 +14,12 @@ import json
 import time
 
 import jax
+
+# persistent compilation cache: first compile of the big vmapped solver is
+# minutes on the remote-compile tunnel; cache it across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 import jax.numpy as jnp
 import numpy as np
 
