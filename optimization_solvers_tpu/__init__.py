@@ -34,6 +34,8 @@ from optimization_solvers_tpu import linesearch
 from optimization_solvers_tpu import solvers
 from optimization_solvers_tpu import parallel
 from optimization_solvers_tpu import utils
+from optimization_solvers_tpu import api
+from optimization_solvers_tpu import ops
 
 __version__ = "0.1.0"
 
@@ -50,4 +52,6 @@ __all__ = [
     "solvers",
     "parallel",
     "utils",
+    "api",
+    "ops",
 ]

@@ -1,0 +1,326 @@
+"""Reference-parity object front-end (reference L6).
+
+The functional core (:mod:`optimization_solvers_tpu.solvers`) is the
+TPU-native API; this module recreates the reference crate's user-facing
+surface on top of it so code written against the Rust API maps one-to-one:
+
+  * solver classes with the reference constructor signatures and the
+    ``minimize(line_search, oracle, max_iter_solver, max_iter_line_search,
+    callback)`` template entry point (``ls_solver.rs:66-111``), plus
+    ``xk()`` / ``k()`` accessors;
+  * :class:`Lbfgsb` mirroring the Fortran-FFI wrapper's builder API
+    (``quasi_newton/lbfgsb.rs:88-154``): per-index bound setters, ``set_m``,
+    ``set_factr``, ``set_pgtol``, ``max_iteration``;
+  * :class:`OptimizationSolver` mirroring the WASM binding
+    (``wasm.rs:6-269``): ``solve_gradient_descent`` / ``solve_bfgs`` /
+    ``solve_newton`` returning an :class:`OptimizationResult`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_solvers_tpu.core.oracle import Oracle, ensure_oracle, make_oracle
+from optimization_solvers_tpu.core.types import FuncEval, SolveResult, Status
+from optimization_solvers_tpu import linesearch as ls
+from optimization_solvers_tpu import solvers as _solvers
+
+
+class SolverError(Exception):
+    """Mirror of the reference error enum (``ls_solver.rs:10-20``)."""
+
+
+class MaxIterReached(SolverError):
+    pass
+
+
+class OutOfDomain(SolverError):
+    pass
+
+
+class AbnormalTermination(SolverError):
+    pass
+
+
+_STATUS_ERRORS = {
+    int(Status.MAX_ITER_REACHED): MaxIterReached,
+    int(Status.OUT_OF_DOMAIN): OutOfDomain,
+    int(Status.ABNORMAL): AbnormalTermination,
+}
+
+
+def _raise_on_error(result: SolveResult) -> None:
+    code = int(result.status)
+    if code in _STATUS_ERRORS:
+        raise _STATUS_ERRORS[code]()
+
+
+class _TemplateSolver:
+    """Shared ``minimize`` plumbing: run the functional core, keep the final
+    iterate/iteration count as object state (the reference mutates ``self.x``
+    / ``self.k`` in place), raise the reference's error taxonomy."""
+
+    _method = None
+    _bounds = None
+
+    def __init__(self, x0):
+        self.x = jnp.asarray(x0)
+        self.k = 0
+        self._result: Optional[SolveResult] = None
+
+    def xk(self):
+        return self.x
+
+    def minimize(self, line_search, oracle, max_iter_solver: int = 1000,
+                 max_iter_line_search: int = 100, callback=None) -> None:
+        oracle = ensure_oracle(oracle)
+        result = _solvers.minimize(
+            self._method, line_search, oracle, self.x,
+            bounds=self._bounds, max_iter=max_iter_solver,
+            max_iter_ls=max_iter_line_search, callback=callback,
+        )
+        self._result = result
+        self.x = result.x
+        self.k = int(result.iterations)
+        _raise_on_error(result)
+
+    @property
+    def result(self) -> Optional[SolveResult]:
+        return self._result
+
+
+class GradientDescent(_TemplateSolver):
+    """``GradientDescent::new(grad_tol, x0)`` (``gradient_descent.rs:16-23``)."""
+
+    def __init__(self, grad_tol: float, x0):
+        super().__init__(x0)
+        self._method = _solvers.GradientDescent(grad_tol=grad_tol)
+
+
+class CoordinateDescent(_TemplateSolver):
+    def __init__(self, grad_tol: float, x0):
+        super().__init__(x0)
+        self._method = _solvers.CoordinateDescent(grad_tol=grad_tol)
+
+
+class PnormDescent(_TemplateSolver):
+    def __init__(self, grad_tol: float, x0, inverse_p):
+        super().__init__(x0)
+        self._method = _solvers.PnormDescent(
+            grad_tol=grad_tol, inverse_p=jnp.asarray(inverse_p)
+        )
+
+
+class ProjectedGradientDescent(_TemplateSolver):
+    def __init__(self, grad_tol: float, x0, lower_bound, upper_bound):
+        super().__init__(x0)
+        self._method = _solvers.ProjectedGradientDescent(grad_tol=grad_tol)
+        self._bounds = (jnp.asarray(lower_bound), jnp.asarray(upper_bound))
+
+
+class SpectralProjectedGradient(_TemplateSolver):
+    def __init__(self, grad_tol: float, x0, oracle, lower_bound, upper_bound):
+        # the reference constructor takes the oracle to seed lambda_0
+        # (spg.rs:28-46); the functional core folds that into init()
+        super().__init__(x0)
+        self._method = _solvers.SpectralProjectedGradient(grad_tol=grad_tol)
+        self._bounds = (jnp.asarray(lower_bound), jnp.asarray(upper_bound))
+
+
+class Newton(_TemplateSolver):
+    def __init__(self, tol: float, x0):
+        super().__init__(x0)
+        self._method = _solvers.Newton(tol=tol)
+
+
+class ProjectedNewton(_TemplateSolver):
+    def __init__(self, grad_tol: float, x0, lower_bound, upper_bound):
+        super().__init__(x0)
+        self._method = _solvers.ProjectedNewton(grad_tol=grad_tol)
+        self._bounds = (jnp.asarray(lower_bound), jnp.asarray(upper_bound))
+
+
+class SpectralProjectedNewton(_TemplateSolver):
+    def __init__(self, grad_tol: float, x0, oracle, lower_bound, upper_bound):
+        super().__init__(x0)
+        self._method = _solvers.SpectralProjectedNewton(grad_tol=grad_tol)
+        self._bounds = (jnp.asarray(lower_bound), jnp.asarray(upper_bound))
+
+
+def _dense_qn(update: str):
+    class _QN(_TemplateSolver):
+        def __init__(self, tol: float, x0):
+            super().__init__(x0)
+            self._method = _solvers.QuasiNewton(tol=tol, update=update)
+
+    return _QN
+
+
+def _dense_qn_b(update: str):
+    class _QNB(_TemplateSolver):
+        def __init__(self, tol: float, x0, lower_bound, upper_bound):
+            super().__init__(x0)
+            self._method = _solvers.QuasiNewtonB(tol=tol, update=update)
+            self._bounds = (jnp.asarray(lower_bound), jnp.asarray(upper_bound))
+
+    return _QNB
+
+
+BFGS = _dense_qn("bfgs")
+DFP = _dense_qn("dfp")
+Broyden = _dense_qn("broyden")
+BFGSB = _dense_qn_b("bfgs")
+DFPB = _dense_qn_b("dfp")
+BroydenB = _dense_qn_b("broyden")
+SR1B = _dense_qn_b("sr1")
+
+
+class Lbfgsb:
+    """Builder-compatible L-BFGS-B front end (``lbfgsb.rs:88-154``), backed
+    by the device-resident implementation instead of the Fortran FFI.
+
+    ``minimize(oracle, x0)`` mutates ``x0``'s role the way the reference
+    does (the final iterate is ``self.x``) and applies the same stopping
+    semantics: with ``max_iteration`` unset it stops when the projected
+    gradient satisfies ``||pg||_inf <= 1e-10 * f`` or the factr/pgtol
+    tests fire (``lbfgsb.rs:62-84``)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.m = 5
+        self.l = np.full(n, -np.inf)
+        self.u = np.full(n, np.inf)
+        self.factr = 0.0
+        self.pgtol = 0.0
+        self.max_iter = 0
+        self.iprint = -1
+        self.x: Optional[jax.Array] = None
+        self._result: Optional[SolveResult] = None
+
+    # --- builder methods (lbfgsb.rs:113-154) -------------------------------
+    def set_lower_bound(self, index: int, value: float) -> None:
+        self.l[index] = value
+
+    def set_upper_bound(self, index: int, value: float) -> None:
+        self.u[index] = value
+
+    def set_verbosity(self, level: int) -> None:
+        self.iprint = level
+
+    def set_factr(self, factr: float) -> None:
+        # 1e12 low accuracy, 1e7 moderate, 1e1 extremely high (lbfgsb.rs:136-141)
+        self.factr = factr
+
+    def set_pgtol(self, pgtol: float) -> None:
+        self.pgtol = pgtol
+
+    def max_iteration(self, max_iter: int) -> None:
+        self.max_iter = max_iter
+
+    def set_m(self, m: int) -> None:
+        # 3 <= m <= 20 recommended (lbfgsb.rs:150-154)
+        self.m = m
+
+    # -----------------------------------------------------------------------
+    def minimize(self, oracle, x0) -> None:
+        from optimization_solvers_tpu.solvers.lbfgsb import (
+            LbfgsbConfig,
+            lbfgsb_minimize,
+        )
+
+        x0 = jnp.asarray(x0)
+        cfg = LbfgsbConfig(
+            m=self.m,
+            factr=self.factr,
+            pgtol=self.pgtol,
+            rel_pg_stop=(self.max_iter == 0),
+            max_iter=self.max_iter if self.max_iter > 0 else 10_000,
+        )
+        result = lbfgsb_minimize(
+            ensure_oracle(oracle), x0,
+            jnp.asarray(self.l, x0.dtype), jnp.asarray(self.u, x0.dtype), cfg,
+        )
+        self._result = result
+        self.x = result.x
+        if self.max_iter > 0 and int(result.status) == int(Status.MAX_ITER_REACHED):
+            raise MaxIterReached()
+        _raise_on_error(result)
+
+    @property
+    def result(self) -> Optional[SolveResult]:
+        return self._result
+
+
+@dataclasses.dataclass
+class OptimizationResult:
+    """Mirror of the WASM ``OptimizationResult`` (``wasm.rs:7-14``)."""
+
+    x: list
+    f_value: float
+    gradient_norm: float
+    iterations: int
+    success: bool
+    error_message: Optional[str] = None
+
+
+class OptimizationSolver:
+    """Mirror of the WASM front end (``wasm.rs:16-269``): ergonomic one-call
+    solves from plain Python lists + a scalar objective (gradients/Hessians
+    come from autodiff instead of the JS callback protocol)."""
+
+    def __init__(self, tolerance: float = 1e-6, max_iterations: int = 1000):
+        self.tolerance = tolerance
+        self.max_iterations = max_iterations
+
+    def _run(self, method, search, oracle, x0) -> OptimizationResult:
+        try:
+            result = _solvers.minimize(
+                method, search, oracle, jnp.asarray(x0, jnp.float64)
+                if jax.config.jax_enable_x64 else jnp.asarray(x0),
+                max_iter=self.max_iterations, max_iter_ls=100,
+            )
+            ok = int(result.status) == int(Status.CONVERGED)
+            return OptimizationResult(
+                x=[float(v) for v in result.x],
+                f_value=float(result.f),
+                gradient_norm=float(jnp.linalg.norm(result.g)),
+                iterations=int(result.iterations),
+                success=ok,
+                error_message=None if ok else Status(int(result.status)).name,
+            )
+        except Exception as exc:  # mirror wasm error_message plumbing
+            return OptimizationResult(
+                x=list(x0), f_value=float("nan"), gradient_norm=float("nan"),
+                iterations=0, success=False, error_message=str(exc),
+            )
+
+    def solve_gradient_descent(self, x0: Sequence[float],
+                               objective: Callable) -> OptimizationResult:
+        # wasm.rs:73-131: GD + BackTracking(1e-4, 0.5)
+        return self._run(
+            _solvers.GradientDescent(grad_tol=self.tolerance),
+            ls.BackTracking(c1=1e-4, beta=0.5),
+            make_oracle(objective), x0,
+        )
+
+    def solve_bfgs(self, x0: Sequence[float],
+                   objective: Callable) -> OptimizationResult:
+        # wasm.rs:133-187: BFGS + MoreThuente
+        return self._run(
+            _solvers.BFGS(tol=self.tolerance), ls.MoreThuente(),
+            make_oracle(objective), x0,
+        )
+
+    def solve_newton(self, x0: Sequence[float],
+                     objective: Callable) -> OptimizationResult:
+        # wasm.rs:189-268: Newton with Hessian oracle
+        return self._run(
+            _solvers.Newton(tol=self.tolerance),
+            ls.BackTracking(c1=1e-4, beta=0.5),
+            make_oracle(objective, with_hessian=True), x0,
+        )

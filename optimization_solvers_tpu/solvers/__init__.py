@@ -8,6 +8,7 @@ from optimization_solvers_tpu.solvers.driver import (
     make_solver,
     make_step,
     minimize,
+    minimize_recorded,
 )
 from optimization_solvers_tpu.solvers.base import BoundedMethod, Method
 from optimization_solvers_tpu.solvers.steepest import (
@@ -45,6 +46,7 @@ __all__ = [
     "batch_minimize",
     "make_solver",
     "make_step",
+    "minimize_recorded",
     "SolverCarry",
     "Method",
     "BoundedMethod",

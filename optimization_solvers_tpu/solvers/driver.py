@@ -135,6 +135,44 @@ def minimize(
     return _result(final, max_iter)
 
 
+def minimize_recorded(
+    method,
+    line_search,
+    oracle,
+    x0: jax.Array,
+    *,
+    bounds: Bounds = None,
+    max_iter: int = 1000,
+    max_iter_ls: int = 100,
+):
+    """Like :func:`minimize` but also returns the full iterate trajectory
+    ``(max_iter + 1, n)`` and per-iteration objective values — the
+    device-resident equivalent of the reference's per-iteration callback
+    collecting iterates for plotting
+    (``examples/quadratic_with_plots.rs:26-29``).
+
+    Implemented as a ``lax.scan`` over exactly ``max_iter`` steps with
+    per-step freeze masks (a converged instance repeats its final iterate),
+    so the trajectory has static shape and the whole thing batches under
+    ``vmap``.  Returns ``(SolveResult, xs, fs)``.
+    """
+    init_fn, keep_going_fn, step_fn = make_step(
+        method, line_search, oracle, bounds=bounds, max_iter_ls=max_iter_ls
+    )
+    c0 = init_fn(x0)
+
+    def scan_body(c, _):
+        active = keep_going_fn(c)
+        stepped = step_fn(c)
+        c_new = jax.tree.map(lambda old, new: jnp.where(active, new, old), c, stepped)
+        return c_new, (c_new.x, c_new.ev.f)
+
+    final, (xs, fs) = lax.scan(scan_body, c0, None, length=max_iter)
+    xs = jnp.concatenate([c0.x[None], xs], axis=0)
+    fs = jnp.concatenate([c0.ev.f[None], fs], axis=0)
+    return _result(final, max_iter), xs, fs
+
+
 def batch_minimize(
     method,
     line_search,
