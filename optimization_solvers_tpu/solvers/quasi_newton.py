@@ -39,6 +39,9 @@ class _QNState(NamedTuple):
     B: jax.Array       # (n, n) approximate inverse Hessian
     s_norm: jax.Array
     y_norm: jax.Array
+    Bg: jax.Array      # cached B @ g at the current iterate (fused mode
+                       # computes it inside the update kernel; unfused mode
+                       # recomputes it in direction())
 
 
 def _bfgs_update(B, s, y, rho):
@@ -82,11 +85,15 @@ class _QuasiNewtonCommon:
 
     tol: float = 1e-8
     update: str = "bfgs"
+    # fused=True runs the rank-1/rank-2 update and the next direction matvec
+    # in one pass over B (the Pallas kernel on TPU, its XLA twin elsewhere)
+    fused: bool = False
 
     def init(self, x, ev, bounds: Bounds):
         n = x.shape[-1]
         inf = jnp.asarray(jnp.inf, x.dtype)
-        return _QNState(jnp.eye(n, dtype=x.dtype), inf, inf)
+        # B0 = I so B0 g = g
+        return _QNState(jnp.eye(n, dtype=x.dtype), inf, inf, ev.g)
 
     def converged(self, mstate: _QNState, x, ev, bounds: Bounds):
         # s/y-too-close early exits, then the 2-norm gradient test
@@ -100,12 +107,24 @@ class _QuasiNewtonCommon:
         y = ev_new.g - ev.g
         s_norm = jnp.linalg.norm(s)
         y_norm = jnp.linalg.norm(y)
-        skip = (s_norm < self.tol) | (y_norm < self.tol)
-        B_new = _UPDATES[self.update](mstate.B, s, y, vdot(s, y))
         # freeze B when the correction pair is degenerate (bfgs.rs:104-112);
-        # also guard against non-finite updates poisoning a frozen lane
-        B_new = jnp.where(skip, mstate.B, B_new)
-        return _QNState(B_new, s_norm, y_norm)
+        # also guards non-finite updates from poisoning a frozen lane
+        skip = (s_norm < self.tol) | (y_norm < self.tol)
+        if self.fused:
+            from optimization_solvers_tpu.ops.pallas_qn import (
+                qn_update_direction_pallas,
+                qn_update_direction_ref,
+            )
+
+            fn = (qn_update_direction_pallas
+                  if jax.default_backend() == "tpu"
+                  else qn_update_direction_ref)
+            B_new, Bg = fn(mstate.B, s, y, ev_new.g, skip, kind=self.update)
+        else:
+            B_new = _UPDATES[self.update](mstate.B, s, y, vdot(s, y))
+            B_new = jnp.where(skip, mstate.B, B_new)
+            Bg = mstate.Bg  # recomputed lazily in direction()
+        return _QNState(B_new, s_norm, y_norm, Bg)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,7 +132,8 @@ class QuasiNewton(_QuasiNewtonCommon, Method):
     """Unconstrained quasi-Newton: direction ``-B g`` (``bfgs.rs:42-49``)."""
 
     def direction(self, mstate: _QNState, x, ev, bounds: Bounds):
-        return -matvec(mstate.B, ev.g), mstate
+        Bg = mstate.Bg if self.fused else matvec(mstate.B, ev.g)
+        return -Bg, mstate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,7 +144,8 @@ class QuasiNewtonB(_QuasiNewtonCommon, BoundedMethod):
     reference (``bfgs_b.rs:92-104``), not the projected gradient."""
 
     def direction(self, mstate: _QNState, x, ev, bounds: Bounds):
-        return box_projection(x - matvec(mstate.B, ev.g), *bounds) - x, mstate
+        Bg = mstate.Bg if self.fused else matvec(mstate.B, ev.g)
+        return box_projection(x - Bg, *bounds) - x, mstate
 
 
 def BFGS(tol: float = 1e-8) -> QuasiNewton:
