@@ -607,3 +607,52 @@ int ost_lbfgsb_minimize(int n, int m, double* x, const double* lower,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Built-in Rosenbrock oracle + benchmark driver: measures the reference
+// execution model (sequential native solves, analytic gradients, one CPU
+// core — what the Rust crate + Fortran core would do) with zero
+// cross-language callback overhead.
+
+namespace {
+
+void rosen_oracle(const double* x, int n, double* f, double* g, void*) {
+  double fv = 0.0;
+  for (int i = 0; i < n; ++i) g[i] = 0.0;
+  for (int i = 0; i + 1 < n; ++i) {
+    const double t = x[i + 1] - x[i] * x[i];
+    const double u = 1.0 - x[i];
+    fv += 100.0 * t * t + u * u;
+    g[i] += -400.0 * x[i] * t - 2.0 * u;
+    g[i + 1] += 200.0 * t;
+  }
+  *f = fv;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Solves `count` Rosenbrock-n instances sequentially; x0s is (count, n)
+// row-major and is overwritten with the minimizers.  Returns the number of
+// converged instances; *out_fsum accumulates final objective values.
+int ost_bench_rosenbrock(int count, int n, int m, double* x0s,
+                         const double* lower, const double* upper,
+                         double factr, double pgtol, int max_iter,
+                         double* out_fsum) {
+  int converged = 0;
+  double fsum = 0.0;
+  for (int i = 0; i < count; ++i) {
+    double f = 0.0;
+    int iters = 0;
+    const int status = ost_lbfgsb_minimize(
+        n, m, x0s + static_cast<long>(i) * n, lower, upper, factr, pgtol,
+        max_iter, 20, rosen_oracle, nullptr, &f, &iters);
+    if (status == 1) ++converged;
+    fsum += f;
+  }
+  *out_fsum = fsum;
+  return converged;
+}
+
+}  // extern "C"

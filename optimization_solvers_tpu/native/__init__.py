@@ -111,3 +111,48 @@ def lbfgsb_minimize_native(
         ctypes.byref(out_f), ctypes.byref(out_iters),
     )
     return x, out_f.value, out_iters.value, status
+
+
+def bench_rosenbrock_native(
+    count: int,
+    n: int = 100,
+    *,
+    m: int = 5,
+    factr: float = 1e7,
+    pgtol: float = 1e-5,
+    max_iter: int = 500,
+    lower: float = -5.0,
+    upper: float = 5.0,
+    seed: int = 42,
+):
+    """Sequential native Rosenbrock-n solves (the reference execution model:
+    one instance at a time, analytic gradients, no callback overhead).
+    Returns ``(converged, mean_f, elapsed_seconds)``."""
+    import time
+
+    lib = _load()
+    lib.ost_bench_rosenbrock.restype = ctypes.c_int
+    lib.ost_bench_rosenbrock.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    rng = np.random.RandomState(seed)
+    x0s = np.ascontiguousarray(rng.uniform(-2.0, 2.0, size=(count, n)))
+    lo = np.full(n, lower)
+    up = np.full(n, upper)
+    fsum = ctypes.c_double(0.0)
+    t0 = time.perf_counter()
+    converged = lib.ost_bench_rosenbrock(
+        count, n, m,
+        x0s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        up.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        float(factr), float(pgtol), int(max_iter),
+        ctypes.byref(fsum),
+    )
+    dt = time.perf_counter() - t0
+    return converged, fsum.value / count, dt

@@ -1,0 +1,159 @@
+"""Sharded batched solves over a device mesh (SURVEY.md §2.5: the
+parallelism dimension the single-process reference lacks entirely).
+
+Data-parallel solves are embarrassingly parallel: each instance owns its
+convergence test, so the right decomposition is ``shard_map`` over the
+batch axis with each device running its shard's solver loop *independently*
+— a device whose lanes all converged goes idle instead of lock-stepping
+with the slowest device (which is what a GSPMD-sharded global ``vmap``
+while-loop would do: its condition becomes a cross-device reduction every
+iteration, riding ICI for no benefit).
+
+Collectives appear only in the optional telemetry reduction
+(:func:`sharded_summary`) and in coordinate-sharded ("tp") oracles, where
+XLA inserts psum/all-gather for the contractions (see
+``__graft_entry__.dryrun_multichip`` part 2).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from optimization_solvers_tpu.core.types import SolveResult, Status
+from optimization_solvers_tpu.solvers.driver import batch_minimize
+
+
+def _result_specs(axis: str):
+    return SolveResult(
+        x=P(axis, None), f=P(axis), g=P(axis, None),
+        iterations=P(axis), status=P(axis),
+    )
+
+
+def sharded_batch_minimize(
+    method,
+    line_search,
+    oracle,
+    x0: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "dp",
+    bounds=None,
+    **kwargs,
+) -> SolveResult:
+    """Solve a (B, n) batch sharded over ``axis`` of ``mesh``; each device
+    runs its local shard's vmapped while-loops to completion independently.
+    ``bounds`` (if given) are replicated."""
+
+    bounds_spec = (P(None), P(None)) if bounds is not None else None
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), bounds_spec),
+        out_specs=_result_specs(axis),
+        check_vma=False,
+    )
+    def solve_shard(x0_local, bounds_local):
+        return batch_minimize(
+            method, line_search, oracle, x0_local, bounds=bounds_local,
+            **kwargs,
+        )
+
+    x0 = jax.device_put(x0, NamedSharding(mesh, P(axis, None)))
+    return jax.jit(solve_shard)(x0, bounds)
+
+
+def sharded_lbfgsb_minimize(
+    oracle,
+    x0: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    config,
+    *,
+    mesh: Mesh,
+    axis: str = "dp",
+) -> SolveResult:
+    """Data-parallel L-BFGS-B over the mesh (the BASELINE.json headline
+    workload at multi-chip scale)."""
+    from optimization_solvers_tpu.solvers.lbfgsb import lbfgsb_minimize
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None), P(None)),
+        out_specs=_result_specs(axis),
+        check_vma=False,
+    )
+    def solve_shard(x0_local, lo, up):
+        return jax.vmap(
+            lambda x: lbfgsb_minimize(oracle, x, lo, up, config)
+        )(x0_local)
+
+    x0 = jax.device_put(x0, NamedSharding(mesh, P(axis, None)))
+    return jax.jit(solve_shard)(x0, lower, upper)
+
+
+def sharded_summary(result: SolveResult, mesh: Mesh, axis: str = "dp") -> dict:
+    """Global convergence telemetry: one psum-style reduction over the
+    sharded result (runs as XLA collectives over ICI on real hardware)."""
+    converged = jnp.sum(result.status == Status.CONVERGED)
+    total_iters = jnp.sum(result.iterations)
+    return {
+        "instances": int(result.status.shape[0]),
+        "converged": int(converged),
+        "total_iterations": int(total_iters),
+    }
+
+
+def scaling_report(
+    solve_fn,
+    batch: int,
+    device_counts: Sequence[int],
+    *,
+    axis_names=("dp",),
+    warmup: bool = True,
+) -> list[dict]:
+    """Measure iterations/s scaling efficiency across mesh sizes
+    (BASELINE.md: 'iterations/s scaling efficiency >= 80% at 2+ hosts').
+
+    ``solve_fn(mesh) -> SolveResult`` builds + runs the sharded solve on the
+    given mesh over the same total workload.  Returns one record per mesh
+    size with throughput and efficiency relative to the single-device run.
+    """
+    records = []
+    base = None
+    for nd in device_counts:
+        devices = jax.devices()[:nd]
+        mesh = Mesh(
+            jnp.array(devices).reshape(nd).tolist()
+            if False else devices, axis_names,
+        )
+        if warmup:
+            jax.block_until_ready(solve_fn(mesh))
+        t0 = time.perf_counter()
+        res = solve_fn(mesh)
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        iters = int(jnp.sum(res.iterations))
+        rec = {
+            "devices": nd,
+            "seconds": dt,
+            "iters_per_sec": iters / dt,
+            "solves_per_sec": batch / dt,
+        }
+        if base is None:
+            base = rec
+            rec["efficiency"] = 1.0
+        else:
+            ideal = base["solves_per_sec"] * nd / base["devices"]
+            rec["efficiency"] = rec["solves_per_sec"] / ideal
+        records.append(rec)
+    return records
