@@ -1,0 +1,272 @@
+"""Fused Pallas TPU solver kernel: entire batched L-BFGS solves inside one
+kernel, all state resident in VMEM.
+
+Why: the vmapped ``lax.while_loop`` solver path issues thousands of tiny
+XLA ops per lockstep iteration ((B,)- and (B, m)-shaped scalars dominate);
+measured utilization on the headline workload is ~4% of VPU speed-of-light
+— per-op fixed costs, not FLOPs, bound it.  Fusing the whole solve into a
+single Mosaic kernel removes the per-op overhead and keeps x/g/history in
+VMEM for the full solve (the reference's Fortran workspaces, reborn as
+VMEM tiles; zero HBM round-trips between iterations).
+
+Mosaic-specific structure (learned the hard way):
+  * loop carries must be scalars — every piece of evolving state lives in
+    VMEM scratch refs mutated by the loop bodies ("failed to legalize
+    scf.yield" otherwise);
+  * the (m, n, T) history is a ring buffer addressed by a head counter
+    (no concatenate-shift data movement);
+  * per-lane masks are (1, T) float/int tiles, instance axis last, so
+    every op is a full-lane vector op.
+
+The oracle is any pure-jnp scalar objective; its batched value-and-grad is
+built with ``jax.vmap(jax.value_and_grad(f))`` and traced straight into
+the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from optimization_solvers_tpu.core.types import SolveResult, Status
+
+
+def _batched_value_and_grad(f: Callable):
+    """(n, T) -> ((1, T), (n, T)) value-and-grad over the lane axis."""
+    vg = jax.value_and_grad(f)
+    bvg = jax.vmap(vg, in_axes=1, out_axes=(0, 1))
+
+    def wrapped(X):
+        fv, gv = bvg(X)
+        return fv[None, :], gv
+
+    return wrapped
+
+
+def _batched_value(f: Callable):
+    """(n, T) -> (1, T) value-only over the lane axis (cheap line-search
+    trials: no gradient work)."""
+    bf = jax.vmap(f, in_axes=1, out_axes=0)
+
+    def wrapped(X):
+        return bf(X)[None, :]
+
+    return wrapped
+
+
+def _make_kernel(f, n, m, T, tol, max_iter, max_iter_ls, c1, c2, dtype):
+    bvg = _batched_value_and_grad(f)
+    bval = _batched_value(f)
+    curvature_eps = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+
+    def kernel(x0_ref, x_out, f_out, it_out, st_out,
+               X, G, Fv, S, Y, rho, validf, gamma, iters, ls_t, ls_done):
+        # ---- init ---------------------------------------------------------
+        X[...] = x0_ref[0]
+        fv, gv = bvg(X[...])
+        Fv[...] = fv
+        G[...] = gv
+        S[...] = jnp.zeros((m, n, T), dtype)
+        Y[...] = jnp.zeros((m, n, T), dtype)
+        rho[...] = jnp.zeros((m, T), dtype)
+        validf[...] = jnp.zeros((m, T), dtype)
+        gamma[...] = jnp.ones((1, T), dtype)
+        iters[...] = jnp.zeros((1, T), jnp.int32)
+
+        def active_mask():
+            conv = jnp.max(jnp.abs(G[...]), axis=0, keepdims=True) < tol
+            return jnp.isfinite(Fv[...]) & ~conv                  # (1, T)
+
+        def two_loop(head):
+            q = G[...]
+            alphas = [None] * m
+            for j in range(m):               # newest -> oldest
+                idx = (head - 1 - j) % m
+                a = (rho[idx] * jnp.sum(S[idx] * q, axis=0)
+                     * validf[idx])                               # (T,)
+                q = q - a[None, :] * Y[idx]
+                alphas[j] = a
+            r = gamma[0][None, :] * q
+            for j in range(m - 1, -1, -1):   # oldest -> newest
+                idx = (head - 1 - j) % m
+                b = (rho[idx] * jnp.sum(Y[idx] * r, axis=0)
+                     * validf[idx])
+                r = r + (alphas[j] - b)[None, :] * S[idx]
+            return -r
+
+        def line_search(d, active):
+            """Armijo backtracking with value-only trials (the gradient is
+            evaluated once, at the accepted point, by the caller).  Mosaic
+            only legalizes scalar loop carries, so the per-lane trial state
+            (t, done) lives in VMEM scratch refs and the while carry is the
+            live-lane count."""
+            g0d = jnp.sum(G[...] * d, axis=0, keepdims=True)      # (1, T)
+            f0 = Fv[...]
+            ls_t[...] = jnp.ones((1, T), dtype)
+            ls_done[...] = (~active).astype(jnp.int32)
+
+            def cond(s):
+                i, n_active = s
+                return (i < max_iter_ls) & (n_active > 0)
+
+            def body(s):
+                i, _ = s
+                t = ls_t[...]
+                done = ls_done[...] > 0
+                fv_t = bval(X[...] + t * d)
+                ok = (fv_t <= f0 + c1 * t * g0d) & jnp.isfinite(fv_t)
+                keep = done | ok
+                ls_t[...] = jnp.where(keep, t, t * 0.5)
+                ls_done[...] = keep.astype(jnp.int32)
+                return (i + 1, jnp.sum((~keep).astype(jnp.int32), dtype=jnp.int32))
+
+            lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+            return ls_t[...]
+
+        def body(carry):
+            i, head, _go = carry
+            active = active_mask()                                 # (1, T)
+
+            d = two_loop(head)
+            t = line_search(d, active)
+
+            X_new = X[...] + t * d
+            f_new, g_new = bvg(X_new)
+
+            s_vec = X_new - X[...]
+            y_vec = g_new - G[...]
+            sy = jnp.sum(s_vec * y_vec, axis=0, keepdims=True)     # (1, T)
+            yy = jnp.sum(y_vec * y_vec, axis=0, keepdims=True)
+            accept = active & (sy > curvature_eps * yy)
+            accf = accept.astype(dtype)
+
+            # ring write: the head is a tile-wide scalar but acceptance is
+            # per-lane, so a rejecting lane writes an *invalidated* slot
+            # (zero pair, validf 0) — it forfeits its oldest pair instead
+            # of desynchronizing the ring
+            slot = head % m
+            S[slot] = jnp.where(accept, s_vec, jnp.zeros((n, T), dtype))
+            Y[slot] = jnp.where(accept, y_vec, jnp.zeros((n, T), dtype))
+            rho[slot] = jnp.where(accept[0], 1.0 / sy[0],
+                                  jnp.zeros((T,), dtype))
+            validf[slot] = accept[0].astype(dtype)
+            gamma[...] = jnp.where(accept, sy / yy, gamma[...])
+
+            X[...] = jnp.where(active, X_new, X[...])
+            Fv[...] = jnp.where(active, f_new, Fv[...])
+            G[...] = jnp.where(active, g_new, G[...])
+            iters[...] = iters[...] + active.astype(jnp.int32)
+
+            go = jnp.sum(active_mask().astype(jnp.int32)) > 0
+            return (i + 1, head + 1, go)
+
+        def cond(carry):
+            i, _head, go = carry
+            return (i < max_iter) & go
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0),
+                                    jnp.asarray(True)))
+
+        conv = jnp.max(jnp.abs(G[...]), axis=0, keepdims=True) < tol
+        finite = jnp.isfinite(Fv[...])
+        status = jnp.where(
+            conv & finite,
+            jnp.int32(Status.CONVERGED),
+            jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
+                      jnp.int32(Status.MAX_ITER_REACHED)),
+        )
+        x_out[0] = X[...]
+        f_out[...] = Fv[...]
+        it_out[...] = iters[...]
+        st_out[...] = status
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "f", "m", "tol", "max_iter", "max_iter_ls", "tile", "c1", "c2",
+        "interpret",
+    ),
+)
+def lbfgs_solve_fused(
+    f: Callable,
+    x0: jax.Array,                  # (B, n)
+    *,
+    m: int = 10,
+    tol: float = 1e-5,
+    max_iter: int = 500,
+    max_iter_ls: int = 16,
+    tile: int = 128,
+    c1: float = 1e-4,
+    c2: float = 0.9,
+    interpret: bool = False,
+) -> SolveResult:
+    """Solve a batch of unconstrained problems with the fused L-BFGS kernel.
+
+    ``B`` must be a multiple of ``tile`` (pad externally if needed).
+
+    Note: in-kernel line-search trials are unrolled (``max_iter_ls`` oracle
+    evaluations per outer iteration, mask-frozen after acceptance), because
+    per-lane vector state cannot cross Mosaic loop-carry boundaries; keep
+    ``max_iter_ls`` modest.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n = x0.shape
+    assert B % tile == 0, f"batch {B} not a multiple of tile {tile}"
+    dtype = x0.dtype
+    T = tile
+
+    xT = x0.T.reshape(1, n, B)  # lane-last layout
+
+    kernel = _make_kernel(
+        f, n, m, T, tol, max_iter, max_iter_ls, c1, c2, dtype
+    )
+    scratch = [
+        pltpu.VMEM((n, T), dtype),       # X
+        pltpu.VMEM((n, T), dtype),       # G
+        pltpu.VMEM((1, T), dtype),       # Fv
+        pltpu.VMEM((m, n, T), dtype),    # S
+        pltpu.VMEM((m, n, T), dtype),    # Y
+        pltpu.VMEM((m, T), dtype),       # rho
+        pltpu.VMEM((m, T), dtype),       # validf
+        pltpu.VMEM((1, T), dtype),       # gamma
+        pltpu.VMEM((1, T), jnp.int32),   # iters
+        pltpu.VMEM((1, T), dtype),       # ls_t
+        pltpu.VMEM((1, T), jnp.int32),   # ls_done
+    ]
+    x_out, f_out, it_out, st_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+        grid=(B // T,),
+        in_specs=[
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xT)
+
+    x_final = x_out[0].T                                         # (B, n)
+    # final gradient for the result object (cheap epilogue outside the kernel)
+    _, g_final = jax.vmap(jax.value_and_grad(f))(x_final)
+    return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])
