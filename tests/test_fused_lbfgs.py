@@ -49,8 +49,8 @@ def test_fused_matches_driver_quality():
     fused = lbfgs_solve_fused(f, x0, m=10, tol=1e-5, max_iter=800,
                               max_iter_ls=20, tile=4, interpret=True)
     driver = solvers.batch_minimize(
-        solvers.LBFGS(tol=1e-5, m=10), ls.MoreThuente(), make_oracle(f),
-        x0, max_iter=800)
+        solvers.LBFGS(tol=1e-5, m=10), ls.StrongWolfe(c1=1e-4, c2=0.9),
+        make_oracle(f), x0, max_iter=800)
     assert int((fused.status == 1).sum()) == 4
     assert int((driver.status == 1).sum()) == 4
     np.testing.assert_allclose(fused.x, driver.x, atol=1e-3)
