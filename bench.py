@@ -1,39 +1,46 @@
 """Headline benchmark: solves/sec on a 10k-instance batched Rosenbrock-100
 L-BFGS-B workload (BASELINE.json metric), on whatever accelerator JAX sees.
 
-The baseline is the reference's execution model: one instance at a time on
-one CPU core through the Fortran ``setulb_`` — measured here via
-scipy.optimize.fmin_l_bfgs_b (the same L-BFGS-B lineage the reference crate
-wraps through ``lbfgsb-sys``) on a sample of instances, identical problem,
-identical m/factr/pgtol, extrapolated to per-solve throughput.
+Two device paths are measured:
+  * the fused Pallas solver kernel (whole solves in VMEM) — the headline;
+  * optionally (--unfused) the vmapped lax.while_loop driver.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The baseline is the reference's execution model: one instance at a time on
+one CPU core through a native L-BFGS-B with analytic gradients (our
+clean-room C++ core — the honest stand-in for the Rust crate + Fortran
+``setulb_``), at the same pgtol/factr stopping targets.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import statistics
+import sys
 import time
 
 import jax
 
-# persistent compilation cache: first compile of the big vmapped solver is
-# minutes on the remote-compile tunnel; cache it across runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import jax.numpy as jnp
 import numpy as np
 
 from optimization_solvers_tpu.core import problems
 from optimization_solvers_tpu.core.oracle import make_oracle
 from optimization_solvers_tpu.solvers.lbfgsb import LbfgsbConfig, lbfgsb_minimize
+from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
 
 N = 100
-BATCH = 10_000
-M = 10
-PGTOL = 1e-3   # accuracy target for BOTH tpu and cpu baseline
-FACTR = 100.0  # ~1.2e-5 relative-decrease stall guard in f32
+BATCH = 10_240          # multiple of the kernel tile
+TILE = 256
+M = 5                   # reference default (lbfgsb.rs:91)
+PGTOL = 1e-3            # accuracy target for BOTH device and cpu baseline
+FACTR = 100.0           # ~1.2e-5 relative-decrease stall guard in f32
 MAX_ITER = 600
 DTYPE = jnp.float32
+REPEATS = 3
 
 
 def _starts(batch: int) -> np.ndarray:
@@ -41,42 +48,55 @@ def _starts(batch: int) -> np.ndarray:
     return rng.uniform(-2.0, 2.0, size=(batch, N))
 
 
-CHUNK = 2_000  # the axon relay kills device dispatches longer than ~60s;
-               # 2k lanes x ~550 lockstep iterations stays well under that
-
-
-def bench_tpu() -> tuple[float, float]:
+def bench_fused() -> tuple[float, float, float]:
+    f = problems.rosenbrock()
     lower = jnp.full((N,), -5.0, DTYPE)
     upper = jnp.full((N,), 5.0, DTYPE)
-    oracle = make_oracle(problems.rosenbrock())
-    cfg = LbfgsbConfig(m=M, pgtol=PGTOL, factr=FACTR, max_iter=MAX_ITER)
+    x0 = jnp.asarray(_starts(BATCH), DTYPE)
 
+    def solve(x):
+        return lbfgsb_solve_fused(
+            f, x, lower, upper, m=M, pgtol=PGTOL, factr=FACTR,
+            max_iter=MAX_ITER, tile=TILE,
+        )
+
+    r = solve(x0)
+    jax.block_until_ready((r.x, r.f, r.iterations, r.status))  # compile+warm
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        r = solve(x0)
+        jax.block_until_ready((r.x, r.f, r.iterations, r.status))
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    return BATCH / dt, float(jnp.median(r.f)), float((r.status == 1).mean())
+
+
+def bench_unfused() -> tuple[float, float, float]:
+    oracle = make_oracle(problems.rosenbrock())
+    lower = jnp.full((N,), -5.0, DTYPE)
+    upper = jnp.full((N,), 5.0, DTYPE)
+    cfg = LbfgsbConfig(m=M, pgtol=PGTOL, factr=FACTR, max_iter=MAX_ITER)
     solve = jax.jit(
         jax.vmap(lambda x0: lbfgsb_minimize(oracle, x0, lower, upper, cfg))
     )
+    chunk = 2000  # the relay kills device dispatches longer than ~60s
     x0 = jnp.asarray(_starts(BATCH), DTYPE)
-    chunks = [x0[i : i + CHUNK] for i in range(0, BATCH, CHUNK)]
-
-    jax.block_until_ready(solve(chunks[0]))  # compile + warm
-
-    fs = []
-    t0 = time.perf_counter()
-    for chunk in chunks:
-        res = solve(chunk)
-        jax.block_until_ready(res)
-        fs.append(res.f)
+    chunks = [x0[i:i + chunk] for i in range(0, BATCH, chunk)]
+    jax.block_until_ready(solve(chunks[0]))
+    fs, t0 = [], time.perf_counter()
+    for c in chunks:
+        r = solve(c)
+        jax.block_until_ready(r)
+        fs.append(r.f)
     dt = time.perf_counter() - t0
-
-    median_f = float(jnp.median(jnp.concatenate(fs)))
-    return BATCH / dt, median_f
+    return BATCH / dt, float(jnp.median(jnp.concatenate(fs))), 1.0
 
 
 def bench_cpu_baseline(samples: int = 32) -> float:
-    """Per-solve throughput of the reference execution model: sequential
-    single-core native solves with analytic gradients and zero
-    cross-language overhead (our clean-room C++ L-BFGS-B core — the honest
-    stand-in for the Rust crate + Fortran ``setulb_``).  Falls back to
-    scipy (Python-callback oracles) if the C++ toolchain is unavailable."""
+    """Reference execution model: sequential single-core native solves,
+    analytic gradients, zero cross-language overhead."""
     try:
         from optimization_solvers_tpu.native import bench_rosenbrock_native
 
@@ -105,35 +125,34 @@ def bench_cpu_baseline(samples: int = 32) -> float:
     bounds = [(-5.0, 5.0)] * N
     t0 = time.perf_counter()
     for i in range(samples):
-        # factr scaled so the relative-decrease threshold matches the
-        # f32 run (factr_eff * eps64 == FACTR * eps32)
         fmin_l_bfgs_b(f_np, x0s[i].copy(), fprime=g_np, bounds=bounds,
                       m=M, factr=FACTR * 5.4e8, pgtol=PGTOL, maxiter=MAX_ITER)
-    dt = time.perf_counter() - t0
-    return samples / dt
+    return samples / (time.perf_counter() - t0)
 
 
 def main():
-    # the remote-compile/dispatch tunnel throws transient UNAVAILABLE errors;
-    # retry a couple of times before giving up
+    use_unfused = "--unfused" in sys.argv
+    bench = bench_unfused if use_unfused else bench_fused
     last = None
-    for _ in range(3):
+    for _ in range(3):  # the remote tunnel throws transient UNAVAILABLEs
         try:
-            solves_per_sec, median_f = bench_tpu()
+            solves_per_sec, median_f, conv_frac = bench()
             break
-        except Exception as exc:  # jax.errors.JaxRuntimeError
+        except Exception as exc:
             last = exc
     else:
         raise last
-    cpu_solves_per_sec = bench_cpu_baseline()
-    vs = solves_per_sec / cpu_solves_per_sec if cpu_solves_per_sec == cpu_solves_per_sec else None
+    cpu = bench_cpu_baseline()
+    vs = solves_per_sec / cpu if cpu == cpu else None
     print(json.dumps({
         "metric": "solves_per_sec_rosenbrock100_lbfgsb_batch10k",
         "value": round(solves_per_sec, 2),
         "unit": "solves/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "median_final_f": median_f,
-        "baseline_cpu_solves_per_sec": round(cpu_solves_per_sec, 2),
+        "converged_fraction": conv_frac,
+        "baseline_cpu_solves_per_sec": round(cpu, 2),
+        "path": "unfused" if use_unfused else "fused_pallas",
         "device": jax.devices()[0].device_kind,
     }))
 

@@ -1,0 +1,666 @@
+"""Fused Pallas TPU kernel: complete batched **L-BFGS-B** solves in VMEM.
+
+The box-constrained sibling of :mod:`pallas_lbfgs` and the TPU-native
+answer to the reference's Fortran ``setulb_`` core at production scale:
+one kernel invocation runs the full Byrd-Lu-Nocedal-Zhu loop — compact
+middle-matrix factorization, generalized Cauchy point, primal subspace
+minimization, projected backtracking line search — for a tile of instances,
+with every piece of state resident in VMEM for the whole solve.
+
+In-kernel reformulations (beyond the Mosaic rules listed in
+:mod:`pallas_lbfgs`):
+  * the GCP breakpoint sweep replaces the argsort with per-lane iterative
+    min-extraction (processed breakpoints are masked to +inf); each sweep
+    step gathers the per-lane breaking coordinate through a one-hot
+    reduction, so the whole sweep is full-lane vector work;
+  * the middle matrix lives as its Schur factorization — D (m, T),
+    chronological L (m, m, T), and the Cholesky factor of
+    ``theta S S^T + L D^{-1} L^T`` — rebuilt once per outer iteration from
+    incrementally-maintained S.Y / S.S Gram tables (only the new pair's
+    row/column is recomputed);
+  * the history is kept in chronological order by an explicit VMEM shift
+    (S[p] <- S[p+1]) instead of a head-indexed ring: ~100 live
+    ``(head+p)%m`` scalar indices blew the TPU scalar register allocator
+    ("live_range_finder RET_CHECK"); with the shift, every history index
+    is a compile-time constant;
+  * all triangular solves unroll over the static history length m (keep m
+    modest: every unit adds ~O(m) lane-wide ops to the program).
+
+Validated in interpret mode against the unfused
+:mod:`optimization_solvers_tpu.solvers.lbfgsb` implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from optimization_solvers_tpu.core.types import SolveResult, Status
+from optimization_solvers_tpu.ops.pallas_lbfgs import (
+    _batched_value,
+    _batched_value_and_grad,
+)
+
+
+def _make_kernel(f, n, m, T, pgtol, factr, max_iter, max_iter_ls, c1,
+                 dtype):
+    bvg = _batched_value_and_grad(f)
+    bval = _batched_value(f)
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+    f_rtol = factr * eps_mach
+    curvature_eps = eps_mach
+    inf = float("inf")  # python scalar: a jnp constant here would be a captured tracer
+
+    def kernel(x0_ref, lo_ref, up_ref,
+               x_out, f_out, it_out, st_out,
+               X, G, Fv, Fprev, S, Y, SYt, SSt, Dh, Lc, Sch, theta, validf,
+               iters, tbr, dgc, xcp, fixedm, cvec, pvec, sc1, sc2, ls_t,
+               ls_done):
+        lo = lo_ref[0]                                           # (n, T)
+        up = up_ref[0]
+
+        X[...] = jnp.clip(x0_ref[0], lo, up)
+        fv, gv = bvg(X[...])
+        Fv[...] = fv
+        Fprev[...] = jnp.full((1, T), jnp.inf, dtype)
+        G[...] = gv
+        S[...] = jnp.zeros((m, n, T), dtype)
+        Y[...] = jnp.zeros((m, n, T), dtype)
+        SYt[...] = jnp.zeros((m, m, T), dtype)
+        SSt[...] = jnp.zeros((m, m, T), dtype)
+        validf[...] = jnp.zeros((m, T), dtype)
+        theta[...] = jnp.ones((1, T), dtype)
+        iters[...] = jnp.zeros((1, T), jnp.int32)
+
+        row_iota = lax.broadcasted_iota(jnp.int32, (n, T), 0)
+
+        def pg_inf_norm():
+            pg = X[...] - jnp.clip(X[...] - G[...], lo, up)
+            return jnp.max(jnp.abs(pg), axis=0, keepdims=True)    # (1, T)
+
+        def active_mask():
+            done = pg_inf_norm() <= pgtol
+            fmax = jnp.maximum(
+                jnp.maximum(jnp.abs(Fv[...]), jnp.abs(Fprev[...])), 1.0
+            )
+            done = done | (
+                jnp.isfinite(Fprev[...])
+                & ((Fprev[...] - Fv[...]) <= f_rtol * fmax)
+            )
+            return jnp.isfinite(Fv[...]) & ~done
+
+        # ------------------------------------------------------------------
+        # middle factorization (per outer iteration)
+
+        def build_middle():
+            th = theta[...]                                       # (1, T)
+            # D-hat: s_p . y_p patched to 1 on invalid slots (slots are in
+            # chronological order: index m-1 is the newest)
+            for p in range(m):
+                d_p = SYt[p, p]                                   # (T,)
+                Dh[p] = jnp.where(validf[p] > 0, d_p, jnp.ones((T,), dtype))
+            # chronological strictly-lower L: L[p, q] = s_p . y_q, p > q
+            for p in range(m):
+                for q in range(m):
+                    if q < p:
+                        Lc[p, q] = SYt[p, q]
+                    else:
+                        Lc[p, q] = jnp.zeros((T,), dtype)
+            # Schur = theta * SS^T + L D^{-1} L^T  (chronological, patched)
+            for p in range(m):
+                for q in range(m - 1, -1, -1):
+                    if q > p:
+                        continue
+                    v = th[0] * SSt[p, q]
+                    for k in range(min(p, q)):
+                        v = v + Lc[p, k] * Lc[q, k] / Dh[k]
+                    if p == q:
+                        v = jnp.where(validf[p] > 0, v,
+                                      jnp.ones((T,), dtype))
+                    Sch[p, q] = v
+            # in-place lane-wide Cholesky of Sch (lower)
+            for j in range(m):
+                d = Sch[j, j]
+                for k in range(j):
+                    d = d - Sch[j, k] * Sch[j, k]
+                dj = jnp.sqrt(jnp.maximum(d, eps_mach))
+                Sch[j, j] = dj
+                for i in range(j + 1, m):
+                    s_ = Sch[i, j]
+                    for k in range(j):
+                        s_ = s_ - Sch[i, k] * Sch[j, k]
+                    Sch[i, j] = s_ / dj
+
+        def sch_solve(b):
+            """Solve (Schur) z = b for a list of m (T,) lanes, in place."""
+            y_ = [None] * m
+            for i in range(m):
+                s_ = b[i]
+                for k in range(i):
+                    s_ = s_ - Sch[i, k] * y_[k]
+                y_[i] = s_ / Sch[i, i]
+            z = [None] * m
+            for i in range(m - 1, -1, -1):
+                s_ = y_[i]
+                for k in range(i + 1, m):
+                    s_ = s_ - Sch[k, i] * z[k]
+                z[i] = s_ / Sch[i, i]
+            return z
+
+        def mid_solve(ab):
+            """MM^{-1} applied to a list of 2m (T,) lanes."""
+            a, b = ab[:m], ab[m:]
+            rhs = []
+            for i in range(m):
+                s_ = b[i]
+                for k in range(i):
+                    s_ = s_ + Lc[i, k] * a[k] / Dh[k]
+                rhs.append(s_)
+            v = sch_solve(rhs)
+            u = []
+            for i in range(m):
+                s_ = -a[i]
+                for k in range(i + 1, m):
+                    s_ = s_ + Lc[k, i] * v[k]
+                u.append(s_ / Dh[i])
+            return u + v
+
+        def w_dot(vec):
+            """W^T vec: list of 2m (T,) lanes; W rows are
+            [y_0..y_{m-1}, theta s_0..theta s_{m-1}] chronological."""
+            th = theta[0]
+            out = []
+            for p in range(m):
+                out.append(jnp.sum(Y[p] * vec, axis=0))
+            for p in range(m):
+                out.append(th * jnp.sum(S[p] * vec, axis=0))
+            return out
+
+        def w_gather(onehot):
+            """Per-lane column of W at the one-hot coordinate."""
+            return w_dot(onehot)
+
+        def w_apply(coeffs):
+            """W @ coeffs: (n, T) from a list of 2m (T,) lanes."""
+            th = theta[...]
+            acc = jnp.zeros((n, T), dtype)
+            for p in range(m):
+                acc = acc + coeffs[p][None, :] * Y[p]
+            for p in range(m):
+                acc = acc + (coeffs[m + p][None, :] * th) * S[p]
+            return acc
+
+        # ------------------------------------------------------------------
+
+        def cauchy_point(active):
+            g = G[...]
+            x = X[...]
+            tb = jnp.where(
+                g < 0.0, (x - up) / g,
+                jnp.where(g > 0.0, (x - lo) / g, inf),
+            )
+            d0 = jnp.where(tb > 0.0, -g, jnp.zeros((n, T), dtype))
+            tbr[...] = jnp.where(tb > 0.0, tb, inf)
+            dgc[...] = d0
+            xcp[...] = x
+            fixedm[...] = jnp.zeros((n, T), dtype)
+
+            p0 = w_dot(d0)
+            for r in range(2 * m):
+                pvec[r] = p0[r]
+                cvec[r] = jnp.zeros((T,), dtype)
+            Mp = mid_solve(p0)
+            th = theta[...]
+            f1 = -jnp.sum(d0 * d0, axis=0, keepdims=True)         # (1, T)
+            pMp = jnp.zeros((1, T), dtype)
+            for r in range(2 * m):
+                pMp = pMp + (p0[r] * Mp[r])[None, :]
+            f2 = -th * f1 - pMp
+
+            def seg_min(f1v, f2v):
+                return jnp.where(
+                    f2v > eps_mach, -f1v / f2v,
+                    jnp.where(f1v < 0.0, inf, jnp.zeros((1, T), dtype)),
+                )
+
+            # sc1 rows: 0=f1, 1=f2, 2=t_old, 3=dt_min
+            sc1[0] = f1[0]
+            sc1[1] = f2[0]
+            sc1[2] = jnp.zeros((T,), dtype)
+            sc1[3] = seg_min(f1, f2)[0]
+
+            def cond(s):
+                i, n_go = s
+                return (i < n) & (n_go > 0)
+
+            def body(s):
+                i, _ = s
+                f1 = sc1[0][None, :]
+                f2 = sc1[1][None, :]
+                t_old = sc1[2][None, :]
+                dt_min = sc1[3][None, :]
+
+                t_b = jnp.min(tbr[...], axis=0, keepdims=True)    # (1, T)
+                b_idx = jnp.argmin(tbr[...], axis=0)[None, :]     # (1, T)
+                onehot = (row_iota == b_idx).astype(dtype)
+                go = active & jnp.isfinite(t_b) & (dt_min >= t_b - t_old)
+                gof = go.astype(dtype)
+
+                dt = t_b - t_old
+                gb = jnp.sum(G[...] * onehot, axis=0, keepdims=True)
+                db = jnp.sum(dgc[...] * onehot, axis=0, keepdims=True)
+                ub_b = jnp.sum(up * onehot, axis=0, keepdims=True)
+                lb_b = jnp.sum(lo * onehot, axis=0, keepdims=True)
+                bound_b = jnp.where(db > 0.0, ub_b, lb_b)
+                xb = jnp.sum(X[...] * onehot, axis=0, keepdims=True)
+                zb = bound_b - xb
+
+                cl = [cvec[r] + gof[0] * dt[0] * pvec[r] for r in range(2 * m)]
+                for r in range(2 * m):
+                    cvec[r] = cl[r]
+                Mc = mid_solve(cl)
+                pl = [pvec[r] for r in range(2 * m)]
+                Mp = mid_solve(pl)
+                wb = w_gather(onehot)
+                Mw = mid_solve(wb)
+                wMc = jnp.zeros((1, T), dtype)
+                wMp = jnp.zeros((1, T), dtype)
+                wMw = jnp.zeros((1, T), dtype)
+                for r in range(2 * m):
+                    wMc = wMc + (wb[r] * Mc[r])[None, :]
+                    wMp = wMp + (wb[r] * Mp[r])[None, :]
+                    wMw = wMw + (wb[r] * Mw[r])[None, :]
+
+                th = theta[...]
+                f1n = f1 + dt * f2 + gb * gb + th * gb * zb - gb * wMc
+                f2n = f2 - th * gb * gb - 2.0 * gb * wMp - gb * gb * wMw
+                for r in range(2 * m):
+                    pvec[r] = pvec[r] + gof[0] * gb[0] * wb[r]
+
+                fix = (onehot > 0) & go
+                dgc[...] = jnp.where(fix, 0.0, dgc[...])
+                xcp[...] = jnp.where(fix, bound_b, xcp[...])
+                fixedm[...] = jnp.where(fix, 1.0, fixedm[...])
+                tbr[...] = jnp.where(fix, inf, tbr[...])
+
+                f1 = jnp.where(go, f1n, f1)
+                f2 = jnp.where(go, f2n, f2)
+                dt_min_n = seg_min(f1, f2)
+                sc1[0] = f1[0]
+                sc1[1] = f2[0]
+                sc1[2] = jnp.where(go, t_b, t_old)[0]
+                sc1[3] = jnp.where(go, dt_min_n, dt_min)[0]
+
+                # continue while some lane still consumes breakpoints
+                t_next = jnp.min(tbr[...], axis=0, keepdims=True)
+                more = active & jnp.isfinite(t_next) & (
+                    sc1[3][None, :] >= t_next - sc1[2][None, :]
+                )
+                return (i + 1, jnp.sum(more.astype(jnp.int32),
+                                       dtype=jnp.int32))
+
+            lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+
+            dt_min = jnp.maximum(sc1[3][None, :], 0.0)
+            t_cp = sc1[2][None, :] + dt_min
+            for r in range(2 * m):
+                cvec[r] = cvec[r] + dt_min[0] * pvec[r]
+            xcp[...] = jnp.where(
+                fixedm[...] > 0, xcp[...], X[...] + t_cp * dgc[...]
+            )
+            # free = had room to move and not fixed during the sweep
+            tb_pos = jnp.where(
+                G[...] < 0.0, (X[...] - up) / G[...],
+                jnp.where(G[...] > 0.0, (X[...] - lo) / G[...], inf),
+            )
+            return (tb_pos > 0.0) & (fixedm[...] == 0.0)
+
+        # ------------------------------------------------------------------
+
+        def subspace(free):
+            th = theta[...]
+            cl = [cvec[r] for r in range(2 * m)]
+            Mc = mid_solve(cl)
+            r_full = G[...] + th * (xcp[...] - X[...]) - w_apply(Mc)
+            rF = jnp.where(free, r_full, 0.0)
+            freef = free.astype(dtype)
+
+            # subspace middle matrix P = [[-E, Gm],[Gm^T, H]] (chronological)
+            # E = Dh + Y_F Y_F^T / theta ; Gm = L^T - Y_F S_F^T ;
+            # H = theta * S_A S_A^T
+            YF = [Y[p] * freef for p in range(m)]
+            SF = [S[p] * freef for p in range(m)]
+            SA = [S[p] * (1.0 - freef) for p in range(m)]
+            E = [[None] * m for _ in range(m)]
+            Gm = [[None] * m for _ in range(m)]
+            H = [[None] * m for _ in range(m)]
+            for p_ in range(m):
+                for q_ in range(m):
+                    if q_ <= p_:
+                        e_ = jnp.sum(YF[p_] * YF[q_], axis=0) / th[0]
+                        if p_ == q_:
+                            e_ = e_ + Dh[p_]
+                        E[p_][q_] = e_
+                        E[q_][p_] = e_
+                        h_ = th[0] * jnp.sum(SA[p_] * SA[q_], axis=0)
+                        if p_ == q_:
+                            h_ = h_ + jnp.where(
+                                validf[p_] > 0,
+                                jnp.zeros((T,), dtype),
+                                jnp.ones((T,), dtype),
+                            )
+                        H[p_][q_] = h_
+                        H[q_][p_] = h_
+                    lq = Lc[q_, p_] if q_ > p_ else jnp.zeros((T,), dtype)
+                    Gm[p_][q_] = lq - jnp.sum(YF[p_] * SF[q_], axis=0)
+
+            # lane-wide Cholesky of E into sc2 rows (packed m x m)
+            Ech = [[None] * m for _ in range(m)]
+            for j in range(m):
+                d = E[j][j]
+                for k in range(j):
+                    d = d - Ech[j][k] * Ech[j][k]
+                dj = jnp.sqrt(jnp.maximum(d, eps_mach))
+                Ech[j][j] = dj
+                for i2 in range(j + 1, m):
+                    s_ = E[i2][j]
+                    for k in range(j):
+                        s_ = s_ - Ech[i2][k] * Ech[j][k]
+                    Ech[i2][j] = s_ / dj
+
+            def ech_solve(b):
+                y_ = [None] * m
+                for i2 in range(m):
+                    s_ = b[i2]
+                    for k in range(i2):
+                        s_ = s_ - Ech[i2][k] * y_[k]
+                    y_[i2] = s_ / Ech[i2][i2]
+                z = [None] * m
+                for i2 in range(m - 1, -1, -1):
+                    s_ = y_[i2]
+                    for k in range(i2 + 1, m):
+                        s_ = s_ - Ech[k][i2] * z[k]
+                    z[i2] = s_ / Ech[i2][i2]
+                return z
+
+            # Schur2 = H + Gm^T E^{-1} Gm ; factor into Sch (reuse scratch)
+            EinvG = [ech_solve([Gm[i2][j] for i2 in range(m)])
+                     for j in range(m)]           # column j
+            for p_ in range(m):
+                for q_ in range(m):
+                    if q_ > p_:
+                        continue
+                    v = H[p_][q_]
+                    for k in range(m):
+                        v = v + Gm[k][p_] * EinvG[q_][k]
+                    Sch[p_, q_] = v
+            for j in range(m):
+                d = Sch[j, j]
+                for k in range(j):
+                    d = d - Sch[j, k] * Sch[j, k]
+                dj = jnp.sqrt(jnp.maximum(d, eps_mach))
+                Sch[j, j] = dj
+                for i2 in range(j + 1, m):
+                    s_ = Sch[i2, j]
+                    for k in range(j):
+                        s_ = s_ - Sch[i2, k] * Sch[j, k]
+                    Sch[i2, j] = s_ / dj
+
+            # u2 = W_F^T rF ; block solve P v = u2
+            u2 = w_dot(rF)
+            a, b = u2[:m], u2[m:]
+            Einv_a = ech_solve(a)
+            rhs = []
+            for i2 in range(m):
+                s_ = b[i2]
+                for k in range(m):
+                    s_ = s_ + Gm[k][i2] * Einv_a[k]
+                rhs.append(s_)
+            v = sch_solve(rhs)
+            u = []
+            for i2 in range(m):
+                s_ = -a[i2]
+                for k in range(m):
+                    s_ = s_ + Gm[i2][k] * v[k]
+                u.append(s_)
+            u = ech_solve(u)
+
+            dvec = rF / th + jnp.where(
+                free, w_apply(u + v), 0.0
+            ) / (th * th)
+            du = -dvec
+
+            pos = (up - xcp[...]) / du
+            neg = (lo - xcp[...]) / du
+            steps = jnp.where(du > 0.0, pos, jnp.where(du < 0.0, neg, inf))
+            steps = jnp.where(free, steps, inf)
+            steps = jnp.where(jnp.isnan(steps), inf, steps)
+            alpha = jnp.minimum(
+                jnp.ones((1, T), dtype), jnp.min(steps, axis=0, keepdims=True)
+            )
+            return xcp[...] + alpha * jnp.where(free, du, 0.0)
+
+        # ------------------------------------------------------------------
+
+        def line_search(d, active):
+            """Projected value-only Armijo backtracking with the max
+            feasible step as the initial trial cap."""
+            g0d = jnp.sum(G[...] * d, axis=0, keepdims=True)
+            f0 = Fv[...]
+            pos = (up - X[...]) / d
+            neg = (lo - X[...]) / d
+            fs = jnp.where(d > 0.0, pos, jnp.where(d < 0.0, neg, inf))
+            fs = jnp.where(jnp.isnan(fs), inf, fs)
+            stpmax = jnp.min(fs, axis=0, keepdims=True)
+            ls_t[...] = jnp.minimum(jnp.ones((1, T), dtype), stpmax)
+            ls_done[...] = (~active).astype(jnp.int32)
+
+            def cond(s):
+                i, n_active = s
+                return (i < max_iter_ls) & (n_active > 0)
+
+            def body(s):
+                i, _ = s
+                t = ls_t[...]
+                done = ls_done[...] > 0
+                fv_t = bval(X[...] + t * d)
+                ok = (fv_t <= f0 + c1 * t * g0d) & jnp.isfinite(fv_t)
+                keep = done | ok
+                ls_t[...] = jnp.where(keep, t, t * 0.5)
+                ls_done[...] = keep.astype(jnp.int32)
+                return (i + 1,
+                        jnp.sum((~keep).astype(jnp.int32), dtype=jnp.int32))
+
+            lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+            return ls_t[...]
+
+        # ------------------------------------------------------------------
+
+        def body(carry):
+            i, _go = carry
+            active = active_mask()
+
+            build_middle()
+            free = cauchy_point(active)
+            xbar = subspace(free)
+            d = xbar - X[...]
+            t = line_search(d, active)
+
+            X_new = X[...] + t * d
+            f_new, g_new = bvg(X_new)
+            ok = (
+                jnp.isfinite(f_new)
+                & jnp.all(jnp.isfinite(X_new), axis=0, keepdims=True)
+            )
+            X_new = jnp.where(ok, X_new, X[...])
+            f_new = jnp.where(ok, f_new, Fv[...])
+            g_new = jnp.where(ok, g_new, G[...])
+
+            s_vec = X_new - X[...]
+            y_vec = g_new - G[...]
+            sy = jnp.sum(s_vec * y_vec, axis=0, keepdims=True)
+            yy = jnp.sum(y_vec * y_vec, axis=0, keepdims=True)
+            accept = active & ok & (sy > curvature_eps * yy)
+
+            # shift the chronological history (static indices only; the
+            # (m, n, T) VMEM copy is trivial next to the oracle work)
+            for p in range(m - 1):
+                S[p] = S[p + 1]
+                Y[p] = Y[p + 1]
+                validf[p] = validf[p + 1]
+            S[m - 1] = jnp.where(accept, s_vec, jnp.zeros((n, T), dtype))
+            Y[m - 1] = jnp.where(accept, y_vec, jnp.zeros((n, T), dtype))
+            validf[m - 1] = accept[0].astype(dtype)
+            theta[...] = jnp.where(accept, yy / sy, theta[...])
+            # shift the Gram tables and refresh the new row/column
+            for p in range(m - 1):
+                for q in range(m - 1):
+                    SYt[p, q] = SYt[p + 1, q + 1]
+                    SSt[p, q] = SSt[p + 1, q + 1]
+            for j in range(m):
+                SYt[m - 1, j] = jnp.sum(S[m - 1] * Y[j], axis=0)
+                SYt[j, m - 1] = jnp.sum(S[j] * Y[m - 1], axis=0)
+                SSt[m - 1, j] = jnp.sum(S[m - 1] * S[j], axis=0)
+                SSt[j, m - 1] = SSt[m - 1, j]
+
+            Fprev[...] = jnp.where(active, Fv[...], Fprev[...])
+            X[...] = jnp.where(active, X_new, X[...])
+            Fv[...] = jnp.where(active, f_new, Fv[...])
+            G[...] = jnp.where(active, g_new, G[...])
+            iters[...] = iters[...] + active.astype(jnp.int32)
+
+            go = jnp.sum(active_mask().astype(jnp.int32)) > 0
+            return (i + 1, go)
+
+        def cond(carry):
+            i, go = carry
+            return (i < max_iter) & go
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(True)))
+
+        finite = jnp.isfinite(Fv[...])
+        conv = pg_inf_norm() <= pgtol
+        fmax = jnp.maximum(
+            jnp.maximum(jnp.abs(Fv[...]), jnp.abs(Fprev[...])), 1.0
+        )
+        conv = conv | (
+            jnp.isfinite(Fprev[...])
+            & ((Fprev[...] - Fv[...]) <= f_rtol * fmax)
+        )
+        status = jnp.where(
+            conv & finite,
+            jnp.int32(Status.CONVERGED),
+            jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
+                      jnp.int32(Status.MAX_ITER_REACHED)),
+        )
+        x_out[0] = X[...]
+        f_out[...] = Fv[...]
+        it_out[...] = iters[...]
+        st_out[...] = status
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "f", "m", "pgtol", "factr", "max_iter", "max_iter_ls", "tile", "c1",
+        "interpret",
+    ),
+)
+def lbfgsb_solve_fused(
+    f: Callable,
+    x0: jax.Array,                  # (B, n)
+    lower: jax.Array,               # (n,)
+    upper: jax.Array,               # (n,)
+    *,
+    m: int = 5,
+    pgtol: float = 1e-5,
+    factr: float = 1e7,
+    max_iter: int = 500,
+    max_iter_ls: int = 20,
+    tile: int = 128,
+    c1: float = 1e-3,
+    interpret: bool = False,
+) -> SolveResult:
+    """Batched box-constrained solves with the fused L-BFGS-B kernel.
+
+    ``B`` must be a multiple of ``tile``.  Keep ``m`` small (default 5, the
+    reference's default): the in-kernel factorizations unroll in m.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n = x0.shape
+    assert B % tile == 0, f"batch {B} not a multiple of tile {tile}"
+    dtype = x0.dtype
+    T = tile
+
+    xT = x0.T.reshape(1, n, B)
+    loT = jnp.broadcast_to(lower.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
+    upT = jnp.broadcast_to(upper.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
+
+    kernel = _make_kernel(
+        f, n, m, T, pgtol, factr, max_iter, max_iter_ls, c1, dtype
+    )
+    scratch = [
+        pltpu.VMEM((n, T), dtype),       # X
+        pltpu.VMEM((n, T), dtype),       # G
+        pltpu.VMEM((1, T), dtype),       # Fv
+        pltpu.VMEM((1, T), dtype),       # Fprev
+        pltpu.VMEM((m, n, T), dtype),    # S
+        pltpu.VMEM((m, n, T), dtype),    # Y
+        pltpu.VMEM((m, m, T), dtype),    # SYt
+        pltpu.VMEM((m, m, T), dtype),    # SSt
+        pltpu.VMEM((m, T), dtype),       # Dh
+        pltpu.VMEM((m, m, T), dtype),    # Lc
+        pltpu.VMEM((m, m, T), dtype),    # Sch
+        pltpu.VMEM((1, T), dtype),       # theta
+        pltpu.VMEM((m, T), dtype),       # validf
+        pltpu.VMEM((1, T), jnp.int32),   # iters
+        pltpu.VMEM((n, T), dtype),       # tbr
+        pltpu.VMEM((n, T), dtype),       # dgc
+        pltpu.VMEM((n, T), dtype),       # xcp
+        pltpu.VMEM((n, T), dtype),       # fixedm
+        pltpu.VMEM((2 * m, T), dtype),   # cvec
+        pltpu.VMEM((2 * m, T), dtype),   # pvec
+        pltpu.VMEM((4, T), dtype),       # sc1 (f1, f2, t_old, dt_min)
+        pltpu.VMEM((m, T), dtype),       # sc2 (spare)
+        pltpu.VMEM((1, T), dtype),       # ls_t
+        pltpu.VMEM((1, T), jnp.int32),   # ls_done
+    ]
+    x_out, f_out, it_out, st_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+        grid=(B // T,),
+        in_specs=[
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xT, loT, upT)
+
+    x_final = x_out[0].T
+    _, g_final = jax.vmap(jax.value_and_grad(f))(x_final)
+    return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])

@@ -1,0 +1,66 @@
+"""Fused Pallas L-BFGS-B kernel tests (interpret mode on CPU), including
+cross-checks against the unfused device implementation and active-bound
+geometry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_solvers_tpu.core import problems
+from optimization_solvers_tpu.core.oracle import make_oracle
+from optimization_solvers_tpu.core.types import Status
+from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
+from optimization_solvers_tpu.solvers.lbfgsb import LbfgsbConfig, lbfgsb_minimize
+
+
+def test_fused_lbfgsb_bounded_rosenbrock():
+    f = problems.rosenbrock()
+    n = 20
+    x0 = jnp.asarray(np.random.RandomState(0).uniform(-2, 2, (8, n)))
+    res = lbfgsb_solve_fused(
+        f, x0, jnp.full(n, -2.0), jnp.full(n, 2.0),
+        m=5, pgtol=1e-6, factr=10.0, max_iter=500, tile=8, interpret=True)
+    assert int((res.status == Status.CONVERGED).sum()) == 8
+    assert float(jnp.median(res.f)) < 1e-10
+    np.testing.assert_allclose(res.x, jnp.ones_like(res.x), atol=1e-4)
+
+
+def test_fused_lbfgsb_active_bounds():
+    # min (x-2)^2 + (y-3)^2 s.t. x,y <= 1 -> (1,1), f = 5
+    f = problems.shifted_quadratic_2d()
+    x0 = jnp.zeros((4, 2)) + jnp.asarray(
+        np.random.RandomState(1).uniform(-0.5, 0.5, (4, 2)))
+    res = lbfgsb_solve_fused(
+        f, x0, jnp.array([-10.0, -10.0]), jnp.array([1.0, 1.0]),
+        m=5, pgtol=1e-8, factr=10.0, max_iter=200, tile=4, interpret=True)
+    assert int((res.status == Status.CONVERGED).sum()) == 4
+    np.testing.assert_allclose(res.x, np.tile([1.0, 1.0], (4, 1)), atol=1e-6)
+    np.testing.assert_allclose(res.f, np.full(4, 5.0), atol=1e-6)
+
+
+def test_fused_lbfgsb_projects_infeasible_start():
+    f = problems.example_gd()
+    x0 = jnp.asarray([[-10.0, 10.0], [7.0, -3.0]])
+    res = lbfgsb_solve_fused(
+        f, x0, jnp.array([2.0, 2.0]), jnp.array([5.0, 5.0]),
+        m=5, pgtol=1e-8, factr=10.0, max_iter=200, tile=2, interpret=True)
+    np.testing.assert_allclose(res.x, np.tile([2.0, 2.0], (2, 1)), atol=1e-8)
+
+
+def test_fused_lbfgsb_matches_unfused_quality():
+    f = problems.rosenbrock()
+    n = 12
+    lower, upper = jnp.full(n, -1.5), jnp.full(n, 1.5)
+    x0 = jnp.asarray(np.random.RandomState(2).uniform(-1.4, 1.4, (4, n)))
+    fused = lbfgsb_solve_fused(
+        f, x0, lower, upper, m=5, pgtol=1e-7, factr=10.0, max_iter=1000,
+        tile=4, interpret=True)
+    cfg = LbfgsbConfig(m=5, pgtol=1e-7, factr=10.0, max_iter=1000)
+    oracle = make_oracle(f)
+    unfused = jax.vmap(
+        lambda x: lbfgsb_minimize(oracle, x, lower, upper, cfg))(x0)
+    assert int((fused.status == 1).sum()) == 4
+    assert int((unfused.status == 1).sum()) == 4
+    # both reach the same minimizer at tolerance (different line searches,
+    # so iteration counts differ)
+    np.testing.assert_allclose(fused.x, unfused.x, atol=1e-4)
