@@ -52,7 +52,6 @@ def bench_fused() -> tuple[float, float, float]:
     f = problems.rosenbrock()
     lower = jnp.full((N,), -5.0, DTYPE)
     upper = jnp.full((N,), 5.0, DTYPE)
-    x0 = jnp.asarray(_starts(BATCH), DTYPE)
 
     def solve(x):
         return lbfgsb_solve_fused(
@@ -60,14 +59,22 @@ def bench_fused() -> tuple[float, float, float]:
             max_iter=MAX_ITER, tile=TILE,
         )
 
-    r = solve(x0)
+    r = solve(jnp.asarray(_starts(BATCH), DTYPE))
     jax.block_until_ready((r.x, r.f, r.iterations, r.status))  # compile+warm
 
+    # distinct inputs per repeat: the serving tunnel memoizes repeat
+    # dispatches of identical (executable, args) pairs, which would make
+    # repeat timings meaningless
+    rng = np.random.RandomState(7)
     times = []
     for _ in range(REPEATS):
+        x = jnp.asarray(rng.uniform(-2.0, 2.0, size=(BATCH, N)), DTYPE)
+        jax.block_until_ready(x)
         t0 = time.perf_counter()
-        r = solve(x0)
-        jax.block_until_ready((r.x, r.f, r.iterations, r.status))
+        r = solve(x)
+        # a device->host readback of the result is the only reliable fence
+        # through the serving tunnel (block_until_ready returns early there)
+        _ = np.asarray(r.f).sum()
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)
     return BATCH / dt, float(jnp.median(r.f)), float((r.status == 1).mean())
@@ -88,10 +95,9 @@ def bench_unfused() -> tuple[float, float, float]:
     fs, t0 = [], time.perf_counter()
     for c in chunks:
         r = solve(c)
-        jax.block_until_ready(r)
-        fs.append(r.f)
+        fs.append(np.asarray(r.f))  # host readback = execution fence
     dt = time.perf_counter() - t0
-    return BATCH / dt, float(jnp.median(jnp.concatenate(fs))), 1.0
+    return BATCH / dt, float(np.median(np.concatenate(fs))), 1.0
 
 
 def bench_cpu_baseline(samples: int = 32) -> float:
