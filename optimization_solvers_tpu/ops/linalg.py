@@ -20,8 +20,12 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class _Config:
-    # None = auto (Pallas on TPU for n <= max_pallas_n); True/False = force
-    use_pallas: bool | None = None
+    # Pallas factor+solve is opt-in (config.use_pallas = True): inside a
+    # vmapped while_loop its masked-update formulation compiles
+    # pathologically slowly under Mosaic.  The standalone fused solver
+    # kernels (ops.pallas_lbfgs / ops.pallas_lbfgsb) are the production
+    # TPU path; this seam serves explicit experimentation.
+    use_pallas: bool | None = False
     max_pallas_n: int = 512
 
 
