@@ -52,25 +52,32 @@ def _update_math(kind: str, B, s, y, g, skip):
     return Bn, Bg
 
 
-def _make_kernel(kind: str):
-    def kernel(B_ref, s_ref, y_ref, g_ref, skip_ref, Bn_ref, Bg_ref):
-        Bn, Bg = _update_math(
-            kind, B_ref[0], s_ref[0], y_ref[0], g_ref[0], skip_ref[0] != 0
+def _make_kernel(kind: str, tol: float):
+    def kernel(B_ref, s_ref, y_ref, g_ref, Bn_ref, Bg_ref):
+        s = s_ref[0]
+        y = y_ref[0]
+        # degenerate-pair skip computed in-kernel (an SMEM flag input breaks
+        # the pallas_call vmap rule: its (1,) block can't tile under the
+        # prepended batch grid axis)
+        skip = (jnp.sqrt(jnp.sum(s * s)) < tol) | (
+            jnp.sqrt(jnp.sum(y * y)) < tol
         )
+        Bn, Bg = _update_math(kind, B_ref[0], s, y, g_ref[0], skip)
         Bn_ref[0] = Bn
         Bg_ref[0] = Bg
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
-def qn_update_direction_pallas(B, s, y, g, skip, *, kind: str = "bfgs",
-                               interpret: bool = False):
-    """Batched fused QN step: ``(B, s, y, g, skip) -> (B', B' g)``.
+@functools.partial(jax.jit, static_argnames=("kind", "tol", "interpret"))
+def qn_update_direction_pallas(B, s, y, g, *, tol: float = 1e-8,
+                               kind: str = "bfgs", interpret: bool = False):
+    """Batched fused QN step: ``(B, s, y, g) -> (B', B' g)``.
 
-    ``B``: (batch, n, n); vectors (batch, n); ``skip``: (batch,) bool —
-    where True the update is frozen (degenerate correction pair) but the
-    direction matvec still runs.  Unbatched inputs are promoted.
+    ``B``: (batch, n, n); vectors (batch, n).  A degenerate correction pair
+    (``||s|| < tol`` or ``||y|| < tol``) freezes the update for that
+    instance (``bfgs.rs:104-112``); the direction matvec still runs.
+    Unbatched inputs are promoted.  Also composes with ``jax.vmap``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -78,13 +85,12 @@ def qn_update_direction_pallas(B, s, y, g, skip, *, kind: str = "bfgs",
     assert kind in _KINDS
     squeeze = B.ndim == 2
     if squeeze:
-        B, s, y, g, skip = B[None], s[None], y[None], g[None], skip[None]
+        B, s, y, g = B[None], s[None], y[None], g[None]
     nb, n, _ = B.shape
-    skip_i = skip.astype(jnp.int32)
 
     vec_spec = pl.BlockSpec((1, n), lambda b: (b, 0), memory_space=pltpu.VMEM)
     Bn, Bg = pl.pallas_call(
-        _make_kernel(kind),
+        _make_kernel(kind, tol),
         out_shape=(
             jax.ShapeDtypeStruct((nb, n, n), B.dtype),
             jax.ShapeDtypeStruct((nb, n), B.dtype),
@@ -94,7 +100,6 @@ def qn_update_direction_pallas(B, s, y, g, skip, *, kind: str = "bfgs",
             pl.BlockSpec((1, n, n), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             vec_spec, vec_spec, vec_spec,
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, n, n), lambda b: (b, 0, 0),
@@ -102,7 +107,7 @@ def qn_update_direction_pallas(B, s, y, g, skip, *, kind: str = "bfgs",
             vec_spec,
         ),
         interpret=interpret,
-    )(B, s, y, g, skip_i)
+    )(B, s, y, g)
     return (Bn[0], Bg[0]) if squeeze else (Bn, Bg)
 
 

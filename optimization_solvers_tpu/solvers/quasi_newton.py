@@ -116,10 +116,14 @@ class _QuasiNewtonCommon:
                 qn_update_direction_ref,
             )
 
-            fn = (qn_update_direction_pallas
-                  if jax.default_backend() == "tpu"
-                  else qn_update_direction_ref)
-            B_new, Bg = fn(mstate.B, s, y, ev_new.g, skip, kind=self.update)
+            if jax.default_backend() == "tpu":
+                B_new, Bg = qn_update_direction_pallas(
+                    mstate.B, s, y, ev_new.g, tol=self.tol, kind=self.update
+                )
+            else:
+                B_new, Bg = qn_update_direction_ref(
+                    mstate.B, s, y, ev_new.g, skip, kind=self.update
+                )
         else:
             B_new = _UPDATES[self.update](mstate.B, s, y, vdot(s, y))
             B_new = jnp.where(skip, mstate.B, B_new)
