@@ -34,6 +34,7 @@ from optimization_solvers_tpu.solvers.quasi_newton import (
     QuasiNewtonB,
     SR1B,
 )
+from optimization_solvers_tpu.solvers.implicit import make_implicit_solver
 from optimization_solvers_tpu.solvers.lbfgs import LBFGS, LbfgsState
 from optimization_solvers_tpu.solvers.lbfgsb import (
     LbfgsbConfig,
@@ -68,6 +69,7 @@ __all__ = [
     "BroydenB",
     "SR1B",
     "LBFGS",
+    "make_implicit_solver",
     "LbfgsState",
     "LbfgsbConfig",
     "lbfgsb_minimize",

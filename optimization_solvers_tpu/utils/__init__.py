@@ -8,6 +8,8 @@ from optimization_solvers_tpu.utils.telemetry import (
     summarize,
 )
 from optimization_solvers_tpu.utils.plotting import Plotter3d
+from optimization_solvers_tpu.utils.checkpoint import load_state, save_state
+from optimization_solvers_tpu.utils.profiling import trace, wall_timer
 
 __all__ = [
     "LogFormat",
@@ -16,4 +18,8 @@ __all__ = [
     "log_progress",
     "summarize",
     "Plotter3d",
+    "save_state",
+    "load_state",
+    "trace",
+    "wall_timer",
 ]

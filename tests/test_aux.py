@@ -1,0 +1,88 @@
+"""Auxiliary subsystem tests: checkpoint/resume, profiling timer, and
+differentiable (implicit) solves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_solvers_tpu import linesearch as ls, solvers
+from optimization_solvers_tpu.core import problems
+from optimization_solvers_tpu.core.oracle import make_oracle
+from optimization_solvers_tpu.utils import load_state, save_state, wall_timer
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    oracle = make_oracle(problems.quadratic_2d(90.0))
+    method = solvers.GradientDescent(grad_tol=1e-10)
+    search = ls.BackTracking()
+    init_fn, keep_going, step_fn = solvers.make_step(method, search, oracle)
+
+    # uninterrupted: 40 steps
+    c_ref = init_fn(jnp.array([180.0, 152.0]))
+    for _ in range(40):
+        c_ref = step_fn(c_ref)
+
+    # interrupted at 15, checkpointed, resumed for 25 more
+    c = init_fn(jnp.array([180.0, 152.0]))
+    for _ in range(15):
+        c = step_fn(c)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, c)
+    c2 = load_state(path, like=init_fn(jnp.array([180.0, 152.0])))
+    for _ in range(25):
+        c2 = step_fn(c2)
+
+    np.testing.assert_allclose(c2.x, c_ref.x, atol=0)
+    assert int(c2.k) == int(c_ref.k) == 40
+
+
+def test_checkpoint_rejects_wrong_shape(tmp_path):
+    oracle = make_oracle(problems.quadratic_2d(1.0))
+    init_fn, _, _ = solvers.make_step(
+        solvers.GradientDescent(grad_tol=1e-8), ls.BackTracking(), oracle)
+    c = init_fn(jnp.array([1.0, 2.0]))
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, c)
+    bad_like = init_fn(jnp.array([1.0, 2.0, 3.0]))
+    try:
+        load_state(path, like=bad_like)
+        assert False, "expected shape mismatch error"
+    except ValueError:
+        pass
+
+
+def test_wall_timer_fences():
+    out = {}
+    x = jnp.ones((64, 64))
+    with wall_timer(out, fence=x @ x):
+        _ = x @ x
+    assert out["seconds"] > 0
+
+
+def test_implicit_gradient_matches_analytic():
+    # f(x, theta) = 0.5 ||x - A theta||^2 + 0.5 lam ||x||^2
+    # x*(theta) = A theta / (1 + lam);  d(sum x*)/dtheta = A^T 1 / (1 + lam)
+    A = jnp.array([[2.0, 0.5], [0.0, 1.5], [1.0, 1.0]])
+    lam = 0.3
+
+    def f(x, theta):
+        r = x - A @ theta
+        return 0.5 * r @ r + 0.5 * lam * x @ x
+
+    def solve_fn(theta, x0):
+        oracle = make_oracle(lambda x: f(x, theta))
+        return solvers.minimize(
+            solvers.BFGS(tol=1e-12), ls.StrongWolfe(c1=1e-4, c2=0.9),
+            oracle, x0, max_iter=200).x
+
+    x_star = solvers.make_implicit_solver(f, solve_fn)
+    theta = jnp.array([0.7, -1.2])
+    x0 = jnp.zeros(3)
+
+    # value check
+    np.testing.assert_allclose(
+        x_star(theta, x0), (A @ theta) / (1 + lam), atol=1e-8)
+
+    # gradient check
+    g = jax.grad(lambda th: jnp.sum(x_star(th, x0)))(theta)
+    np.testing.assert_allclose(g, A.T @ jnp.ones(3) / (1 + lam), atol=1e-6)
