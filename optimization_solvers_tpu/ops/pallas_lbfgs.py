@@ -58,13 +58,19 @@ def _batched_value(f: Callable):
     return wrapped
 
 
-def _make_kernel(f, n, m, T, tol, max_iter, max_iter_ls, c1, c2, dtype):
-    bvg = _batched_value_and_grad(f)
-    bval = _batched_value(f)
+def _make_kernel(f, n_consts, n, m, T, tol, max_iter, max_iter_ls, c1, c2,
+                 dtype):
     curvature_eps = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
 
-    def kernel(x0_ref, x_out, f_out, it_out, st_out,
-               X, G, Fv, S, Y, rho, validf, gamma, iters, ls_t, ls_done):
+    def kernel(x0_ref, *rest):
+        const_refs = rest[:n_consts]
+        (x_out, f_out, it_out, st_out,
+         X, G, Fv, S, Y, rho, validf, gamma, iters, ls_t, ls_done) = \
+            rest[n_consts:]
+        cvals = [r[...] for r in const_refs]
+        f_local = (lambda x: f(x, *cvals)) if n_consts else f
+        bvg = _batched_value_and_grad(f_local)
+        bval = _batched_value(f_local)
         # ---- init ---------------------------------------------------------
         X[...] = x0_ref[0]
         fv, gv = bvg(X[...])
@@ -197,6 +203,7 @@ def _make_kernel(f, n, m, T, tol, max_iter, max_iter_ls, c1, c2, dtype):
 def lbfgs_solve_fused(
     f: Callable,
     x0: jax.Array,                  # (B, n)
+    consts: tuple = (),             # problem-data arrays: f(x, *consts)
     *,
     m: int = 10,
     tol: float = 1e-5,
@@ -227,8 +234,13 @@ def lbfgs_solve_fused(
     xT = x0.T.reshape(1, n, B)  # lane-last layout
 
     kernel = _make_kernel(
-        f, n, m, T, tol, max_iter, max_iter_ls, c1, c2, dtype
+        f, len(consts), n, m, T, tol, max_iter, max_iter_ls, c1, c2, dtype
     )
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
+                     memory_space=pltpu.VMEM)
+        for c in consts
+    ]
     scratch = [
         pltpu.VMEM((n, T), dtype),       # X
         pltpu.VMEM((n, T), dtype),       # G
@@ -254,6 +266,7 @@ def lbfgs_solve_fused(
         in_specs=[
             pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
                          memory_space=pltpu.VMEM),
+            *const_specs,
         ],
         out_specs=(
             pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
@@ -264,9 +277,10 @@ def lbfgs_solve_fused(
         ),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(xT)
+    )(xT, *consts)
 
     x_final = x_out[0].T                                         # (B, n)
     # final gradient for the result object (cheap epilogue outside the kernel)
-    _, g_final = jax.vmap(jax.value_and_grad(f))(x_final)
+    f_host = (lambda x: f(x, *consts)) if consts else f
+    _, g_final = jax.vmap(jax.value_and_grad(f_host))(x_final)
     return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])

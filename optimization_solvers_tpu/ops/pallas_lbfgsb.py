@@ -46,20 +46,23 @@ from optimization_solvers_tpu.ops.pallas_lbfgs import (
 )
 
 
-def _make_kernel(f, n, m, T, pgtol, factr, max_iter, max_iter_ls, c1,
-                 dtype):
-    bvg = _batched_value_and_grad(f)
-    bval = _batched_value(f)
+def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
+                 c1, dtype):
     eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
     f_rtol = factr * eps_mach
     curvature_eps = eps_mach
     inf = float("inf")  # python scalar: a jnp constant here would be a captured tracer
 
-    def kernel(x0_ref, lo_ref, up_ref,
-               x_out, f_out, it_out, st_out,
-               X, G, Fv, Fprev, S, Y, SYt, SSt, Dh, Lc, Sch, theta, validf,
-               iters, tbr, dgc, xcp, fixedm, cvec, pvec, sc1, sc2, ls_t,
-               ls_done):
+    def kernel(x0_ref, lo_ref, up_ref, *rest):
+        const_refs = rest[:n_consts]
+        (x_out, f_out, it_out, st_out,
+         X, G, Fv, Fprev, S, Y, SYt, SSt, Dh, Lc, Sch, theta, validf,
+         iters, tbr, dgc, xcp, fixedm, cvec, pvec, sc1, sc2, ls_t,
+         ls_done) = rest[n_consts:]
+        cvals = [r[...] for r in const_refs]
+        f_local = (lambda x: f(x, *cvals)) if n_consts else f
+        bvg = _batched_value_and_grad(f_local)
+        bval = _batched_value(f_local)
         lo = lo_ref[0]                                           # (n, T)
         up = up_ref[0]
 
@@ -577,6 +580,7 @@ def lbfgsb_solve_fused(
     x0: jax.Array,                  # (B, n)
     lower: jax.Array,               # (n,)
     upper: jax.Array,               # (n,)
+    consts: tuple = (),             # problem-data arrays: f(x, *consts)
     *,
     m: int = 5,
     pgtol: float = 1e-5,
@@ -605,8 +609,14 @@ def lbfgsb_solve_fused(
     upT = jnp.broadcast_to(upper.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
 
     kernel = _make_kernel(
-        f, n, m, T, pgtol, factr, max_iter, max_iter_ls, c1, dtype
+        f, len(consts), n, m, T, pgtol, factr, max_iter, max_iter_ls, c1,
+        dtype
     )
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
+                     memory_space=pltpu.VMEM)
+        for c in consts
+    ]
     scratch = [
         pltpu.VMEM((n, T), dtype),       # X
         pltpu.VMEM((n, T), dtype),       # G
@@ -649,6 +659,7 @@ def lbfgsb_solve_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            *const_specs,
         ],
         out_specs=(
             pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
@@ -659,8 +670,9 @@ def lbfgsb_solve_fused(
         ),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(xT, loT, upT)
+    )(xT, loT, upT, *consts)
 
     x_final = x_out[0].T
-    _, g_final = jax.vmap(jax.value_and_grad(f))(x_final)
+    f_host = (lambda x: f(x, *consts)) if consts else f
+    _, g_final = jax.vmap(jax.value_and_grad(f_host))(x_final)
     return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])
