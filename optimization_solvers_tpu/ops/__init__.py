@@ -1,5 +1,32 @@
-"""Compute kernels: XLA-native defaults with Pallas TPU overrides."""
+"""Compute kernels: XLA-native defaults with Pallas TPU overrides, plus the
+fused whole-solve kernels (the production TPU path)."""
 
-from optimization_solvers_tpu.ops.linalg import cholesky_solve, solve_spd
+from optimization_solvers_tpu.ops.linalg import cholesky_solve, config, solve_spd
 
-__all__ = ["cholesky_solve", "solve_spd"]
+
+def __getattr__(name):
+    # lazy: the fused kernels import pallas machinery
+    if name == "lbfgs_solve_fused":
+        from optimization_solvers_tpu.ops.pallas_lbfgs import lbfgs_solve_fused
+        return lbfgs_solve_fused
+    if name == "lbfgsb_solve_fused":
+        from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
+        return lbfgsb_solve_fused
+    if name == "spg_solve_fused":
+        from optimization_solvers_tpu.ops.pallas_spg import spg_solve_fused
+        return spg_solve_fused
+    if name == "bfgs_solve_fused":
+        from optimization_solvers_tpu.ops.pallas_bfgs import bfgs_solve_fused
+        return bfgs_solve_fused
+    raise AttributeError(name)
+
+
+__all__ = [
+    "cholesky_solve",
+    "solve_spd",
+    "config",
+    "lbfgs_solve_fused",
+    "lbfgsb_solve_fused",
+    "spg_solve_fused",
+    "bfgs_solve_fused",
+]

@@ -1,0 +1,217 @@
+"""Fused Pallas TPU kernel: batched dense BFGS solves (BASELINE config 2:
+"BFGS + strong-Wolfe on Rosenbrock-100, batch of 1k random starts").
+
+Each lane carries its dense (n, n) approximate inverse Hessian in VMEM as
+a slab of the (n, n, T) scratch tensor; the rank-2 update and the direction
+matvec are broadcast outer products / axis-reductions over the lane axis.
+VMEM budget is the binding constraint: B-slab = n*n*T*4 bytes (100x100x
+tile 8 = 320 KB; keep ``tile * n^2 <= ~1.5M`` floats).  For larger batches
+the limited-memory kernel (:mod:`pallas_lbfgs`) is the right tool; this one
+exists for dense-QN parity at fused speed.
+
+Same Mosaic structure as the siblings (scalar-only loop carries,
+scratch-resident state, value-only Armijo trials with one gradient
+evaluation at the accepted point).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from optimization_solvers_tpu.core.types import SolveResult, Status
+from optimization_solvers_tpu.ops.pallas_lbfgs import (
+    _batched_value,
+    _batched_value_and_grad,
+)
+
+
+def _make_kernel(f, n_consts, n, T, tol, max_iter, max_iter_ls, c1, dtype):
+    eps = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+
+    def kernel(x0_ref, *rest):
+        const_refs = rest[:n_consts]
+        (x_out, f_out, it_out, st_out,
+         X, G, Fv, Bm, iters, ls_t, ls_done) = rest[n_consts:]
+        cvals = [r[...] for r in const_refs]
+        f_local = (lambda x: f(x, *cvals)) if n_consts else f
+        bvg = _batched_value_and_grad(f_local)
+        bval = _batched_value(f_local)
+
+        X[...] = x0_ref[0]
+        fv, gv = bvg(X[...])
+        Fv[...] = fv
+        G[...] = gv
+        # B0 = I per lane: (n, n, T)
+        eye = (lax.broadcasted_iota(jnp.int32, (n, n), 0)
+               == lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(dtype)
+        Bm[...] = jnp.broadcast_to(eye[:, :, None], (n, n, T))
+        iters[...] = jnp.zeros((1, T), jnp.int32)
+
+        def active_mask():
+            # 2-norm gradient test, like the dense reference family
+            # (bfgs.rs:64-76)
+            gn = jnp.sqrt(jnp.sum(G[...] * G[...], axis=0, keepdims=True))
+            return jnp.isfinite(Fv[...]) & ~(gn < tol)
+
+        def body(carry):
+            i, _go = carry
+            active = active_mask()
+
+            # d = -B g : contract over axis 1 of (n, n, T)
+            d = -jnp.sum(Bm[...] * G[...][None, :, :], axis=1)    # (n, T)
+
+            g0d = jnp.sum(G[...] * d, axis=0, keepdims=True)
+            f0 = Fv[...]
+            ls_t[...] = jnp.ones((1, T), dtype)
+            ls_done[...] = (~active).astype(jnp.int32)
+
+            def ls_cond(s):
+                j, n_act = s
+                return (j < max_iter_ls) & (n_act > 0)
+
+            def ls_body(s):
+                j, _ = s
+                t = ls_t[...]
+                done = ls_done[...] > 0
+                fv_t = bval(X[...] + t * d)
+                ok = (fv_t <= f0 + c1 * t * g0d) & jnp.isfinite(fv_t)
+                keep = done | ok
+                ls_t[...] = jnp.where(keep, t, t * 0.5)
+                ls_done[...] = keep.astype(jnp.int32)
+                return (j + 1,
+                        jnp.sum((~keep).astype(jnp.int32), dtype=jnp.int32))
+
+            lax.while_loop(ls_cond, ls_body, (jnp.int32(0), jnp.int32(1)))
+            t = ls_t[...]
+
+            X_new = X[...] + t * d
+            f_new, g_new = bvg(X_new)
+
+            s_vec = X_new - X[...]                                # (n, T)
+            y_vec = g_new - G[...]
+            sy = jnp.sum(s_vec * y_vec, axis=0, keepdims=True)    # (1, T)
+            s_norm = jnp.sqrt(jnp.sum(s_vec * s_vec, axis=0, keepdims=True))
+            y_norm = jnp.sqrt(jnp.sum(y_vec * y_vec, axis=0, keepdims=True))
+            upd = active & (s_norm >= tol) & (y_norm >= tol) & (sy > eps)
+
+            # BFGS inverse update, expanded form (see solvers/quasi_newton):
+            # B' = B - rho(s (By)^T + (By) s^T) + (rho^2 yBy + rho) s s^T
+            By = jnp.sum(Bm[...] * y_vec[None, :, :], axis=1)      # (n, T)
+            yBy = jnp.sum(y_vec * By, axis=0, keepdims=True)
+            rho = 1.0 / sy
+            coeff = rho * rho * yBy + rho
+            B_new = (
+                Bm[...]
+                - rho[None, :, :] * (
+                    s_vec[:, None, :] * By[None, :, :]
+                    + By[:, None, :] * s_vec[None, :, :]
+                )
+                + coeff[None, :, :] * (s_vec[:, None, :] * s_vec[None, :, :])
+            )
+            Bm[...] = jnp.where(upd[None, :, :], B_new, Bm[...])
+
+            X[...] = jnp.where(active, X_new, X[...])
+            Fv[...] = jnp.where(active, f_new, Fv[...])
+            G[...] = jnp.where(active, g_new, G[...])
+            iters[...] = iters[...] + active.astype(jnp.int32)
+
+            go = jnp.sum(active_mask().astype(jnp.int32)) > 0
+            return (i + 1, go)
+
+        lax.while_loop(lambda c: (c[0] < max_iter) & c[1], body,
+                       (jnp.int32(0), jnp.asarray(True)))
+
+        gn = jnp.sqrt(jnp.sum(G[...] * G[...], axis=0, keepdims=True))
+        finite = jnp.isfinite(Fv[...])
+        status = jnp.where(
+            (gn < tol) & finite, jnp.int32(Status.CONVERGED),
+            jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
+                      jnp.int32(Status.MAX_ITER_REACHED)),
+        )
+        x_out[0] = X[...]
+        f_out[...] = Fv[...]
+        it_out[...] = iters[...]
+        st_out[...] = status
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("f", "tol", "max_iter", "max_iter_ls", "tile", "c1",
+                     "interpret"),
+)
+def bfgs_solve_fused(
+    f: Callable,
+    x0: jax.Array,                  # (B, n)
+    consts: tuple = (),
+    *,
+    tol: float = 1e-5,
+    max_iter: int = 500,
+    max_iter_ls: int = 24,
+    tile: int = 8,
+    c1: float = 1e-4,
+    interpret: bool = False,
+) -> SolveResult:
+    """Batched dense-BFGS solves with the fused kernel.  Keep
+    ``tile * n^2`` small enough for VMEM (~1.5M floats)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n = x0.shape
+    assert B % tile == 0, f"batch {B} not a multiple of tile {tile}"
+    dtype = x0.dtype
+    T = tile
+
+    xT = x0.T.reshape(1, n, B)
+    kernel = _make_kernel(
+        f, len(consts), n, T, tol, max_iter, max_iter_ls, c1, dtype
+    )
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
+                     memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    scratch = [
+        pltpu.VMEM((n, T), dtype),       # X
+        pltpu.VMEM((n, T), dtype),       # G
+        pltpu.VMEM((1, T), dtype),       # Fv
+        pltpu.VMEM((n, n, T), dtype),    # Bm
+        pltpu.VMEM((1, T), jnp.int32),   # iters
+        pltpu.VMEM((1, T), dtype),       # ls_t
+        pltpu.VMEM((1, T), jnp.int32),   # ls_done
+    ]
+    x_out, f_out, it_out, st_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+        grid=(B // T,),
+        in_specs=[
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xT, *consts)
+
+    x_final = x_out[0].T
+    f_host = (lambda x: f(x, *consts)) if consts else f
+    _, g_final = jax.vmap(jax.value_and_grad(f_host))(x_final)
+    return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])

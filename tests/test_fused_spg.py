@@ -45,3 +45,32 @@ def test_fused_spg_box_quadratic_batch():
         tol=1e-8, max_iter=1000, tile=16, interpret=True)
     assert int((res.status == Status.CONVERGED).sum()) == 16
     np.testing.assert_allclose(res.x, np.zeros((16, 16)), atol=1e-7)
+
+
+def test_fused_bfgs_rosenbrock():
+    from optimization_solvers_tpu.ops.pallas_bfgs import bfgs_solve_fused
+
+    f = problems.rosenbrock()
+    x0 = jnp.asarray(np.random.RandomState(0).uniform(-2, 2, (8, 20)))
+    res = bfgs_solve_fused(f, x0, tol=1e-5, max_iter=800, tile=4,
+                           interpret=True)
+    assert int((res.status == Status.CONVERGED).sum()) == 8
+    # every lane lands at a true stationary point: the global minimum
+    # (f=0, x=1) or Rosenbrock's local minimum near x0=-1 (f~3.99)
+    f_vals = np.asarray(res.f)
+    assert np.all((f_vals < 1e-8) | (np.abs(f_vals - 3.9866) < 1e-2))
+    global_lanes = f_vals < 1e-8
+    np.testing.assert_allclose(
+        np.asarray(res.x)[global_lanes],
+        np.ones((int(global_lanes.sum()), 20)), atol=1e-4)
+
+
+def test_fused_bfgs_quadratic_exact():
+    from optimization_solvers_tpu.ops.pallas_bfgs import bfgs_solve_fused
+
+    res = bfgs_solve_fused(
+        problems.example_bfgs(),
+        jnp.asarray(np.random.RandomState(1).uniform(-5, 5, (8, 3))),
+        tol=1e-8, max_iter=200, tile=4, interpret=True)
+    assert int((res.status == Status.CONVERGED).sum()) == 8
+    assert float(jnp.max(res.f)) < 1e-14
