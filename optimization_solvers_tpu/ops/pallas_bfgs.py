@@ -30,8 +30,12 @@ from optimization_solvers_tpu.ops.pallas_lbfgs import (
 )
 
 
-def _make_kernel(f, n_consts, n, T, tol, max_iter, max_iter_ls, c1, dtype):
+def _make_kernel(f, n_consts, n, T, tol, max_iter, max_iter_ls, c1, dtype,
+                 row_block=16):
     eps = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+    # row-chunked B traversals keep the (rb, n, T) temporaries well under
+    # VMEM while the (n, n, T) slab itself stays resident
+    row_starts = list(range(0, n, row_block))
 
     def kernel(x0_ref, *rest):
         const_refs = rest[:n_consts]
@@ -62,8 +66,14 @@ def _make_kernel(f, n_consts, n, T, tol, max_iter, max_iter_ls, c1, dtype):
             i, _go = carry
             active = active_mask()
 
-            # d = -B g : contract over axis 1 of (n, n, T)
-            d = -jnp.sum(Bm[...] * G[...][None, :, :], axis=1)    # (n, T)
+            # d = -B g : contract over axis 1, row-chunked
+            g_now = G[...]
+            d_rows = []
+            for r0 in row_starts:
+                rb = min(row_block, n - r0)
+                d_rows.append(-jnp.sum(
+                    Bm[r0:r0 + rb] * g_now[None, :, :], axis=1))
+            d = jnp.concatenate(d_rows, axis=0)                   # (n, T)
 
             g0d = jnp.sum(G[...] * d, axis=0, keepdims=True)
             f0 = Fv[...]
@@ -101,19 +111,31 @@ def _make_kernel(f, n_consts, n, T, tol, max_iter, max_iter_ls, c1, dtype):
 
             # BFGS inverse update, expanded form (see solvers/quasi_newton):
             # B' = B - rho(s (By)^T + (By) s^T) + (rho^2 yBy + rho) s s^T
-            By = jnp.sum(Bm[...] * y_vec[None, :, :], axis=1)      # (n, T)
+            # row-chunked in-place so temporaries stay (rb, n, T)
+            By_rows = []
+            for r0 in row_starts:
+                rb = min(row_block, n - r0)
+                By_rows.append(jnp.sum(
+                    Bm[r0:r0 + rb] * y_vec[None, :, :], axis=1))
+            By = jnp.concatenate(By_rows, axis=0)                  # (n, T)
             yBy = jnp.sum(y_vec * By, axis=0, keepdims=True)
             rho = 1.0 / sy
             coeff = rho * rho * yBy + rho
-            B_new = (
-                Bm[...]
-                - rho[None, :, :] * (
-                    s_vec[:, None, :] * By[None, :, :]
-                    + By[:, None, :] * s_vec[None, :, :]
+            for r0 in row_starts:
+                rb = min(row_block, n - r0)
+                chunk = (
+                    Bm[r0:r0 + rb]
+                    - rho[None, :, :] * (
+                        s_vec[r0:r0 + rb, None, :] * By[None, :, :]
+                        + By[r0:r0 + rb, None, :] * s_vec[None, :, :]
+                    )
+                    + coeff[None, :, :] * (
+                        s_vec[r0:r0 + rb, None, :] * s_vec[None, :, :]
+                    )
                 )
-                + coeff[None, :, :] * (s_vec[:, None, :] * s_vec[None, :, :])
-            )
-            Bm[...] = jnp.where(upd[None, :, :], B_new, Bm[...])
+                Bm[r0:r0 + rb] = jnp.where(
+                    upd[None, :, :], chunk, Bm[r0:r0 + rb]
+                )
 
             X[...] = jnp.where(active, X_new, X[...])
             Fv[...] = jnp.where(active, f_new, Fv[...])
@@ -154,12 +176,15 @@ def bfgs_solve_fused(
     tol: float = 1e-5,
     max_iter: int = 500,
     max_iter_ls: int = 24,
-    tile: int = 8,
+    tile: int = 128,
     c1: float = 1e-4,
     interpret: bool = False,
 ) -> SolveResult:
-    """Batched dense-BFGS solves with the fused kernel.  Keep
-    ``tile * n^2`` small enough for VMEM (~1.5M floats)."""
+    """Batched dense-BFGS solves with the fused kernel.
+
+    ``tile`` must be a multiple of 128 (TPU lane width); the per-tile VMEM
+    budget is dominated by the (n, n, tile) B slab (~n^2 * tile * 4 bytes:
+    n=100, tile=128 -> 5.1 MB), so keep ``n^2 * tile <= ~2.5M`` floats."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
