@@ -121,17 +121,20 @@ def _make_kernel(f, n_consts, n, T, tol, max_iter, max_iter_ls, c1, dtype,
             yBy = jnp.sum(y_vec * By, axis=0, keepdims=True)
             rho = 1.0 / sy
             coeff = rho * rho * yBy + rho
+            s_full = s_vec[None, :, :]
+            By_full = By[None, :, :]
             for r0 in row_starts:
                 rb = min(row_block, n - r0)
+                s_rows = jnp.expand_dims(
+                    lax.slice_in_dim(s_vec, r0, r0 + rb, axis=0), 1)
+                By_rows_c = jnp.expand_dims(
+                    lax.slice_in_dim(By, r0, r0 + rb, axis=0), 1)
                 chunk = (
                     Bm[r0:r0 + rb]
                     - rho[None, :, :] * (
-                        s_vec[r0:r0 + rb, None, :] * By[None, :, :]
-                        + By[r0:r0 + rb, None, :] * s_vec[None, :, :]
+                        s_rows * By_full + By_rows_c * s_full
                     )
-                    + coeff[None, :, :] * (
-                        s_vec[r0:r0 + rb, None, :] * s_vec[None, :, :]
-                    )
+                    + coeff[None, :, :] * (s_rows * s_full)
                 )
                 Bm[r0:r0 + rb] = jnp.where(
                     upd[None, :, :], chunk, Bm[r0:r0 + rb]
