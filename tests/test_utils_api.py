@@ -150,3 +150,57 @@ def test_api_optimization_solver_wasm_parity():
     r3 = s.solve_newton([1.0, 1.5], problems.exp_bowl())
     assert r3.success and abs(r3.f_value - 1.0) < 1e-6
     assert r3.iterations < 100
+
+
+def test_api_remaining_solver_classes():
+    # smoke coverage for the rest of the reference constructor surface
+    f2 = problems.example_gd()
+
+    cd = api.CoordinateDescent(1e-6, jnp.array([10.0, -5.0]))
+    cd.minimize(ls.BackTracking(), make_oracle(f2), 2000, 100)
+    assert float(f2(cd.xk())) < 1e-6
+
+    inv_p = jnp.linalg.inv(jnp.array([[2.0, 0.0], [0.0, 4.0]]))
+    pn = api.PnormDescent(1e-6, jnp.array([3.0, -2.0]), inv_p)
+    pn.minimize(ls.BackTracking(), make_oracle(f2), 200, 100)
+    assert float(f2(pn.xk())) < 1e-6
+
+    lo, hi = jnp.array([0.0, 0.0]), jnp.array([1.0, 1.0])
+    pgd = api.ProjectedGradientDescent(
+        1e-8, jnp.array([5.0, 5.0]), lo, hi)
+    pgd.minimize(ls.BackTrackingB(), make_oracle(problems.shifted_quadratic_2d()),
+                 1000, 100)
+    np.testing.assert_allclose(pgd.xk(), [1.0, 1.0], atol=1e-6)
+
+    oracle = make_oracle(problems.exp_bowl())
+    spg = api.SpectralProjectedGradient(
+        1e-6, jnp.array([0.9, -0.8]), oracle,
+        jnp.array([-1.0, -1.0]), jnp.array([1.0, 1.0]))
+    spg.minimize(ls.GLLQuadratic(), oracle, 1000, 100)
+    assert abs(float(problems.exp_bowl()(spg.xk())) - 1.0) < 1e-6
+
+    newton = api.Newton(1e-10, jnp.array([1.0, 1.5]))
+    newton.minimize(ls.BackTracking(),
+                    make_oracle(problems.exp_bowl(), with_hessian=True),
+                    100, 100)
+    assert abs(float(problems.exp_bowl()(newton.xk())) - 1.0) < 1e-6
+
+    spn = api.SpectralProjectedNewton(
+        1e-6, jnp.array([0.5, 0.5]),
+        make_oracle(problems.quadratic_2d(90.0), with_hessian=True),
+        jnp.array([-1.0, -1.0]), jnp.array([2.0, 2.0]))
+    spn.minimize(ls.GLLQuadratic(c1=1e-4, m=5),
+                 make_oracle(problems.quadratic_2d(90.0), with_hessian=True),
+                 1000, 100)
+    assert float(problems.quadratic_2d(90.0)(spn.xk())) < 1e-6
+
+    dfp = api.DFP(1e-6, jnp.array([5.0, -5.0]))
+    dfp.minimize(ls.MoreThuente(),
+                 make_oracle(lambda x: x[0]**2 + 5.0*x[1]**2 + x[0]*x[1]),
+                 200, 100)
+
+    sr1 = api.SR1B(1e-6, jnp.array([0.9, 0.9]),
+                   jnp.array([-1.0, -1.0]), jnp.array([1.0, 1.0]))
+    sr1.minimize(ls.MoreThuenteB(),
+                 make_oracle(lambda x: x[0]**2 + 3.0*x[1]**2 + x[0]*x[1]),
+                 500, 100)
