@@ -34,7 +34,7 @@ from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
 
 N = 100
 BATCH = 10_240          # multiple of the kernel tile
-TILE = 256
+TILE = 512   # VMEM sweet spot (1024 exceeds the 16 MB scoped limit)
 M = 5                   # reference default (lbfgsb.rs:91)
 PGTOL = 1e-3            # accuracy target for BOTH device and cpu baseline
 FACTR = 100.0           # ~1.2e-5 relative-decrease stall guard in f32
