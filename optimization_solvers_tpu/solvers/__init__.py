@@ -36,6 +36,7 @@ from optimization_solvers_tpu.solvers.quasi_newton import (
 )
 from optimization_solvers_tpu.solvers.implicit import make_implicit_solver
 from optimization_solvers_tpu.solvers.lbfgs import LBFGS, LbfgsState
+from optimization_solvers_tpu.solvers.nonlinear_cg import NonlinearCG
 from optimization_solvers_tpu.solvers.lbfgsb import (
     LbfgsbConfig,
     lbfgsb_minimize,
@@ -70,6 +71,7 @@ __all__ = [
     "SR1B",
     "LBFGS",
     "make_implicit_solver",
+    "NonlinearCG",
     "LbfgsState",
     "LbfgsbConfig",
     "lbfgsb_minimize",

@@ -86,3 +86,39 @@ def test_implicit_gradient_matches_analytic():
     # gradient check
     g = jax.grad(lambda th: jnp.sum(x_star(th, x0)))(theta)
     np.testing.assert_allclose(g, A.T @ jnp.ones(3) / (1 + lam), atol=1e-6)
+
+
+def test_nonlinear_cg_variants():
+    oracle = make_oracle(problems.rosenbrock())
+    x0 = jnp.full(20, -1.2)
+    for variant in ("fr", "pr+", "hs"):
+        res = solvers.minimize(
+            solvers.NonlinearCG(grad_tol=1e-5, variant=variant),
+            ls.StrongWolfe(c1=1e-4, c2=0.4),
+            oracle, x0, max_iter=5000)
+        assert int(res.status) == 1, variant
+        np.testing.assert_allclose(res.x, np.ones(20), atol=1e-3,
+                                   err_msg=variant)
+    # DY is conservative on narrow valleys; exercise it on a quadratic
+    res = solvers.minimize(
+        solvers.NonlinearCG(grad_tol=1e-8, variant="dy"),
+        ls.StrongWolfe(c1=1e-4, c2=0.1),
+        make_oracle(problems.quadratic_2d(90.0)),
+        jnp.array([180.0, 152.0]), max_iter=500)
+    assert int(res.status) == 1
+
+
+def test_nonlinear_cg_quadratic_fast():
+    # on an SPD quadratic, CG with exact-ish line search converges in
+    # far fewer iterations than gradient descent
+    f = problems.quadratic_2d(90.0)
+    oracle = make_oracle(f)
+    cg = solvers.minimize(
+        solvers.NonlinearCG(grad_tol=1e-8, variant="pr+"),
+        ls.StrongWolfe(c1=1e-4, c2=0.1), oracle,
+        jnp.array([180.0, 152.0]), max_iter=200)
+    gd = solvers.minimize(
+        solvers.GradientDescent(grad_tol=1e-8), ls.BackTracking(), oracle,
+        jnp.array([180.0, 152.0]), max_iter=2000)
+    assert int(cg.status) == 1
+    assert int(cg.iterations) < int(gd.iterations)
