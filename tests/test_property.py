@@ -1,0 +1,107 @@
+"""Property-based line-search invariants (hypothesis): on random SPD
+quadratics from random starts, every accepted step must satisfy its
+search's acceptance condition, and solver results must be feasible."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from optimization_solvers_tpu import linesearch as ls, solvers
+from optimization_solvers_tpu.core import problems
+from optimization_solvers_tpu.core.numerics import box_projection
+from optimization_solvers_tpu.core.oracle import make_oracle
+
+_dim = st.integers(min_value=2, max_value=6)
+_seed = st.integers(min_value=0, max_value=10_000)
+_logcond = st.floats(min_value=0.0, max_value=4.0)
+
+
+def _problem(seed, n, logcond):
+    rng = np.random.RandomState(seed)
+    q, _ = np.linalg.qr(rng.randn(n, n))
+    eigs = np.logspace(0, logcond, n)
+    Q = jnp.asarray((q * eigs) @ q.T)
+    x0 = jnp.asarray(rng.uniform(-5, 5, n))
+    return problems.quadratic(Q), x0
+
+
+@settings(max_examples=25, deadline=None)
+@given(_seed, _dim, _logcond)
+def test_backtracking_accepts_armijo_point(seed, n, logcond):
+    f, x = _problem(seed, n, logcond)
+    oracle = make_oracle(f)
+    ev = oracle(x)
+    d = -ev.g
+    search = ls.BackTracking(c1=1e-4, beta=0.5)
+    t, _ = search.step_len(oracle, x, ev, d, None, None, 100)
+    f_t = float(oracle.value(x + t * d))
+    g_dot_d = float(ev.g @ d)
+    assert f_t - float(ev.f) <= 1e-4 * float(t) * g_dot_d + 1e-12
+
+
+@settings(max_examples=25, deadline=None)
+@given(_seed, _dim, _logcond)
+def test_strong_wolfe_accepts_wolfe_point(seed, n, logcond):
+    f, x = _problem(seed, n, logcond)
+    oracle = make_oracle(f)
+    ev = oracle(x)
+    d = -ev.g
+    search = ls.StrongWolfe(c1=1e-4, c2=0.9)
+    t, _ = search.step_len(oracle, x, ev, d, None, None, 40)
+    ev_t = oracle(x + t * d)
+    g0d = float(ev.g @ d)
+    assert float(ev_t.f) - float(ev.f) <= 1e-4 * float(t) * g0d + 1e-10
+    assert abs(float(ev_t.g @ d)) <= 0.9 * abs(g0d) + 1e-10
+
+
+@settings(max_examples=20, deadline=None)
+@given(_seed, _dim)
+def test_bounded_solves_stay_feasible_and_converge(seed, n):
+    f, x0 = _problem(seed, n, 2.0)
+    rng = np.random.RandomState(seed + 1)
+    lo = jnp.asarray(np.sort(rng.uniform(-3, 0, n)))
+    hi = jnp.asarray(np.sort(rng.uniform(0.5, 3, n)))
+    res = solvers.minimize(
+        solvers.ProjectedGradientDescent(grad_tol=1e-7),
+        ls.BackTrackingB(), make_oracle(f), x0,
+        bounds=(lo, hi), max_iter=3000)
+    assert bool(jnp.all(res.x >= lo - 1e-12))
+    assert bool(jnp.all(res.x <= hi + 1e-12))
+    # projected gradient optimality at the returned point when converged
+    if int(res.status) == 1:
+        pg = res.x - box_projection(res.x - res.g, lo, hi)
+        assert float(jnp.max(jnp.abs(pg))) < 1e-6
+
+
+@settings(max_examples=15, deadline=None)
+@given(_seed, _dim)
+def test_lbfgsb_matches_native_cpp(seed, n):
+    """The JAX and C++ implementations of the same algorithm agree on
+    random bounded quadratics."""
+    import shutil
+    if shutil.which("g++") is None:
+        return
+    from optimization_solvers_tpu.native import lbfgsb_minimize_native
+    from optimization_solvers_tpu.solvers.lbfgsb import (
+        LbfgsbConfig, lbfgsb_minimize,
+    )
+
+    f, x0 = _problem(seed, n, 2.0)
+    rng = np.random.RandomState(seed + 2)
+    lo = np.sort(rng.uniform(-3, 0, n))
+    hi = np.sort(rng.uniform(0.5, 3, n))
+    cfg = LbfgsbConfig(m=5, pgtol=1e-8, factr=10.0, max_iter=500)
+    r_jax = lbfgsb_minimize(make_oracle(f), x0, jnp.asarray(lo),
+                            jnp.asarray(hi), cfg)
+
+    Q = np.asarray(jax.hessian(f)(jnp.zeros(n)))
+
+    def vg(x):
+        return float(0.5 * x @ Q @ x), Q @ x
+
+    x_cpp, f_cpp, _, status = lbfgsb_minimize_native(
+        vg, np.asarray(x0), lo, hi, m=5, pgtol=1e-8, factr=10.0,
+        max_iter=500)
+    assert status == 1 and int(r_jax.status) == 1
+    np.testing.assert_allclose(np.asarray(r_jax.x), x_cpp, atol=1e-5)
