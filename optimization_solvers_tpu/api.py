@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from optimization_solvers_tpu.core.oracle import Oracle, ensure_oracle, make_oracle
-from optimization_solvers_tpu.core.types import FuncEval, SolveResult, Status
+from optimization_solvers_tpu.core.oracle import ensure_oracle, make_oracle
+from optimization_solvers_tpu.core.types import SolveResult, Status
 from optimization_solvers_tpu import linesearch as ls
 from optimization_solvers_tpu import solvers as _solvers
 

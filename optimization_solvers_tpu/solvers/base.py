@@ -25,7 +25,6 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from optimization_solvers_tpu.core.numerics import (
     box_projection,

@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 
 from optimization_solvers_tpu.core.numerics import box_projection, dot as vdot, infinity_norm, matvec
-from optimization_solvers_tpu.core.types import FuncEval
 from optimization_solvers_tpu.linesearch.base import Bounds
 from optimization_solvers_tpu.solvers.base import BoundedMethod, Method
 

@@ -27,7 +27,6 @@ import os
 import sys
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from optimization_solvers_tpu.core.types import SolveResult, Status
