@@ -129,3 +129,46 @@ def test_linesearch_vmaps():
     ts_batched = jax.vmap(one)(xs)
     for i in range(xs.shape[0]):
         np.testing.assert_allclose(ts_batched[i], one(xs[i]), rtol=1e-15)
+
+
+def test_hager_zhang_gd_gamma90():
+    x, k = _drive_gd(ls.HagerZhang(), problems.quadratic_2d(90.0),
+                     [180.0, 152.0])
+    assert abs(float(x[0])) < 1e-6
+
+
+def test_hager_zhang_secant_finds_exact_1d_minimizer():
+    # on a quadratic, phi is quadratic in t so the secant step is exact:
+    # t* = (g.g)/(g.H g)
+    gamma = 999.0
+    oracle = make_oracle(problems.quadratic_2d(gamma))
+    x = jnp.array([1.0, 1.0])
+    ev = oracle(x)
+    t, _ = ls.HagerZhang().step_len(oracle, x, ev, -ev.g, None, None, 50)
+    t_star = (1.0 + gamma**2) / (1.0 + gamma**3)
+    np.testing.assert_allclose(float(t), t_star, rtol=1e-6)
+
+
+def test_hager_zhang_approximate_wolfe_near_flat():
+    # near a minimizer f barely changes; the derivative-only approximate
+    # Wolfe test must still accept a step (the classic Armijo stall case)
+    oracle = make_oracle(problems.quadratic_2d(1.0))
+    x = jnp.array([1e-4, 1e-4])
+    ev = oracle(x)
+    t, _ = ls.HagerZhang().step_len(oracle, x, ev, -ev.g, None, None, 50)
+    f_new = oracle.value(x + t * (-ev.g))
+    assert float(f_new) <= float(ev.f)
+
+
+def test_hager_zhang_vmaps():
+    oracle = make_oracle(problems.quadratic_2d(90.0))
+    xs = jnp.array([[180.0, 152.0], [1.0, 1.0], [0.1, -0.2]])
+
+    def one(x):
+        ev = oracle(x)
+        t, _ = ls.HagerZhang().step_len(oracle, x, ev, -ev.g, None, None, 50)
+        return t
+
+    ts_batched = jax.vmap(one)(xs)
+    for i in range(xs.shape[0]):
+        np.testing.assert_allclose(ts_batched[i], one(xs[i]), rtol=1e-15)
