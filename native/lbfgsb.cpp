@@ -227,9 +227,13 @@ void cauchy_point(const State& st, const Vec& x, const Vec& g, const Vec& lo,
 
   dt_min = std::max(dt_min, 0.0);
   const double t_cp = t_old + dt_min;
-  for (int r = 0; r < two; ++r) cvec[r] += dt_min * p[r];
+  // dt_min can be +inf when the model minimizer lies beyond every
+  // breakpoint; the remaining direction (and p) are exactly zero then, so
+  // guard the inf * 0 = NaN products
+  const double dt_fin = std::isfinite(dt_min) ? dt_min : 0.0;
+  for (int r = 0; r < two; ++r) cvec[r] += dt_fin * p[r];
   for (int i = 0; i < n; ++i)
-    if (!fixed[i]) xcp[i] = x[i] + t_cp * d[i];
+    if (!fixed[i]) xcp[i] = (d[i] == 0.0) ? x[i] : x[i] + t_cp * d[i];
 
   c_out = cvec;
   free_mask.assign(n, 0);

@@ -310,10 +310,17 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
 
             dt_min = jnp.maximum(sc1[3][None, :], 0.0)
             t_cp = sc1[2][None, :] + dt_min
+            # dt_min is +inf for lanes whose model minimizer lies beyond all
+            # breakpoints; there the remaining direction (and p) are exactly
+            # zero, so mask the inf * 0 = NaN products (same guard as
+            # solvers/lbfgsb.py _cauchy_point)
+            dt_fin = jnp.where(jnp.isfinite(dt_min), dt_min, 0.0)
             for r in range(2 * m):
-                cvec[r] = cvec[r] + dt_min[0] * pvec[r]
+                cvec[r] = cvec[r] + dt_fin[0] * pvec[r]
             xcp[...] = jnp.where(
-                fixedm[...] > 0, xcp[...], X[...] + t_cp * dgc[...]
+                fixedm[...] > 0,
+                xcp[...],
+                X[...] + jnp.where(dgc[...] == 0.0, 0.0, t_cp * dgc[...]),
             )
             # free = had room to move and not fixed during the sweep
             tb_pos = jnp.where(

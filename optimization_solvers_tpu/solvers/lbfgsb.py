@@ -265,8 +265,14 @@ def _cauchy_point(x, g, lower, upper, Wt, M, theta):
 
     dt_min = jnp.maximum(dt_min, 0.0)
     t_cp = t_old + dt_min
-    c = c + dt_min * p
-    xcp = jnp.where(fixed, xcp, x + t_cp * d)
+    # same inf-times-zero hazard for the running c = W^T (xcp - x): p is
+    # exactly zero whenever dt_min is infinite (d is all zeros then)
+    c = c + jnp.where(jnp.isfinite(dt_min), dt_min, 0.0) * p
+    # dt_min (hence t_cp) is +inf when the model minimizer lies beyond every
+    # breakpoint — possible only when the remaining segment direction is all
+    # zeros (every moving coordinate already hit its bound), so guard the
+    # inf * 0 = NaN in the straight-line extension
+    xcp = jnp.where(fixed, xcp, x + jnp.where(d == 0.0, 0.0, t_cp * d))
     free = (t_break > 0.0) & ~fixed
     return xcp, c, free
 

@@ -5,7 +5,7 @@ search's acceptance condition, and solver results must be feasible."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from optimization_solvers_tpu import linesearch as ls, solvers
 from optimization_solvers_tpu.core import problems
@@ -76,6 +76,10 @@ def test_bounded_solves_stay_feasible_and_converge(seed, n):
 
 @settings(max_examples=15, deadline=None)
 @given(_seed, _dim)
+@example(
+    seed=472,
+    n=2,
+).via('discovered failure')
 def test_lbfgsb_matches_native_cpp(seed, n):
     """The JAX and C++ implementations of the same algorithm agree on
     random bounded quadratics."""
