@@ -200,6 +200,7 @@ class Lbfgsb:
         self.max_iter = 0
         self.iprint = -1
         self.x: Optional[jax.Array] = None
+        self.precond_diag = None
         self._result: Optional[SolveResult] = None
 
     # --- builder methods (lbfgsb.rs:113-154) -------------------------------
@@ -226,11 +227,18 @@ class Lbfgsb:
         # 3 <= m <= 20 recommended (lbfgsb.rs:150-154)
         self.m = m
 
+    def set_precond_diag(self, diag) -> None:
+        """Diagonal preconditioner (implicit B0 = theta*diag(d)); a
+        capability beyond the Fortran core — see
+        :func:`solvers.lbfgsb_minimize_scaled`."""
+        self.precond_diag = np.asarray(diag)
+
     # -----------------------------------------------------------------------
     def minimize(self, oracle, x0) -> None:
         from optimization_solvers_tpu.solvers.lbfgsb import (
             LbfgsbConfig,
             lbfgsb_minimize,
+            lbfgsb_minimize_scaled,
         )
 
         x0 = jnp.asarray(x0)
@@ -241,10 +249,15 @@ class Lbfgsb:
             rel_pg_stop=(self.max_iter == 0),
             max_iter=self.max_iter if self.max_iter > 0 else 10_000,
         )
-        result = lbfgsb_minimize(
-            ensure_oracle(oracle), x0,
-            jnp.asarray(self.l, x0.dtype), jnp.asarray(self.u, x0.dtype), cfg,
-        )
+        lo = jnp.asarray(self.l, x0.dtype)
+        up = jnp.asarray(self.u, x0.dtype)
+        if self.precond_diag is not None:
+            result = lbfgsb_minimize_scaled(
+                ensure_oracle(oracle), x0, lo, up,
+                jnp.asarray(self.precond_diag, x0.dtype), cfg,
+            )
+        else:
+            result = lbfgsb_minimize(ensure_oracle(oracle), x0, lo, up, cfg)
         self._result = result
         self.x = result.x
         if self.max_iter > 0 and int(result.status) == int(Status.MAX_ITER_REACHED):

@@ -40,6 +40,7 @@ from optimization_solvers_tpu.solvers.nonlinear_cg import NonlinearCG
 from optimization_solvers_tpu.solvers.lbfgsb import (
     LbfgsbConfig,
     lbfgsb_minimize,
+    lbfgsb_minimize_scaled,
     make_lbfgsb_step,
 )
 
@@ -75,5 +76,6 @@ __all__ = [
     "LbfgsState",
     "LbfgsbConfig",
     "lbfgsb_minimize",
+    "lbfgsb_minimize_scaled",
     "make_lbfgsb_step",
 ]

@@ -52,7 +52,7 @@ from optimization_solvers_tpu.core.numerics import (
     matmat,
     matvec,
 )
-from optimization_solvers_tpu.core.oracle import ensure_oracle
+from optimization_solvers_tpu.core.oracle import Oracle, ensure_oracle
 from optimization_solvers_tpu.ops.smallchol import (
     cholesky_small,
     spd_solve_small,
@@ -433,3 +433,45 @@ def lbfgsb_minimize(
         ),
     )
     return SolveResult(final.x, final.f, final.g, final.k, status)
+
+
+def lbfgsb_minimize_scaled(
+    oracle,
+    x0: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    diag: jax.Array,
+    config: LbfgsbConfig = LbfgsbConfig(),
+) -> SolveResult:
+    """Scaled (diagonally preconditioned) L-BFGS-B: implicit ``B0 = theta *
+    diag(diag)`` instead of the Fortran's ``theta * I``.
+
+    A capability the reference's Fortran core lacks (``setulb_`` hard-codes
+    the scalar ``theta`` scaling, reached via
+    ``/root/reference/src/quasi_newton/lbfgsb.rs:36-57``).  Realized with
+    zero new kernel code through the exact change of variables
+    ``z = sqrt(diag) * x``: a positive diagonal scaling maps boxes to boxes
+    (``[sqrt(d) l, sqrt(d) u]``), gradients transform as
+    ``g_z = g_x / sqrt(diag)``, and running plain L-BFGS-B in z-space is
+    algebraically identical to running the scaled method in x-space.  On a
+    quadratic with Hessian H, passing ``diag = jnp.diagonal(H)`` is Jacobi
+    preconditioning.
+
+    ``pgtol``/``factr`` apply in the scaled metric (that is the point: the
+    scaled metric is the one in which the problem is well-conditioned).
+    ``diag`` must be elementwise positive.
+    """
+    base = ensure_oracle(oracle)
+    s = jnp.sqrt(jnp.asarray(diag, x0.dtype))
+
+    def full(z):
+        ev = base(z / s)
+        return FuncEval(ev.f, ev.g / s)
+
+    def value(z):
+        return base.value(z / s)
+
+    r = lbfgsb_minimize(
+        Oracle(full, value), x0 * s, lower * s, upper * s, config
+    )
+    return SolveResult(r.x / s, r.f, r.g * s, r.iterations, r.status)

@@ -160,3 +160,81 @@ def test_lbfgsb_against_scipy():
     )
     assert abs(float(res.f) - ref_f) < 1e-6 * max(1.0, abs(ref_f))
     np.testing.assert_allclose(res.x, ref_x, atol=1e-4)
+
+
+# --- scaled (diagonally preconditioned) L-BFGS-B ------------------------------
+
+def test_scaled_lbfgsb_jacobi_beats_plain_on_ill_conditioned():
+    # H = diag(logspace(0, 6, n)): plain L-BFGS-B crawls, Jacobi-scaled
+    # converges in O(1) iterations (the scaled problem is the identity)
+    from optimization_solvers_tpu.solvers.lbfgsb import lbfgsb_minimize_scaled
+
+    n = 50
+    h = jnp.asarray(np.logspace(0, 6, n))
+    oracle = make_oracle(lambda x: 0.5 * jnp.sum(h * x * x))
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.uniform(-2, 2, n))
+    lo = jnp.full((n,), -3.0)
+    hi = jnp.full((n,), 3.0)
+    cfg = LbfgsbConfig(m=5, pgtol=1e-6, factr=0.0, max_iter=200)
+    r = lbfgsb_minimize_scaled(oracle, x0, lo, hi, h, cfg)
+    assert int(r.status) == int(Status.CONVERGED)
+    assert int(r.iterations) <= 3
+    assert float(r.f) < 1e-12
+    # result is reported in the ORIGINAL coordinates
+    assert bool(jnp.all(jnp.abs(r.x) < 1e-6))
+
+
+def test_scaled_lbfgsb_respects_active_bounds():
+    from optimization_solvers_tpu.solvers.lbfgsb import lbfgsb_minimize_scaled
+
+    n = 20
+    h = jnp.asarray(np.logspace(0, 4, n))
+    oracle = make_oracle(lambda x: 0.5 * jnp.sum(h * (x - 2.0) ** 2))
+    x0 = jnp.zeros((n,))
+    lo = jnp.full((n,), -1.0)
+    hi = jnp.full((n,), 1.0)  # unconstrained min x=2 is outside: all active
+    cfg = LbfgsbConfig(m=5, pgtol=1e-8, factr=0.0, max_iter=200)
+    r = lbfgsb_minimize_scaled(oracle, x0, lo, hi, h, cfg)
+    assert int(r.status) == int(Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(r.x), 1.0, atol=1e-8)
+    # gradient is mapped back to original coordinates: g = h*(x-2)
+    np.testing.assert_allclose(np.asarray(r.g), np.asarray(h) * (-1.0),
+                               rtol=1e-6)
+
+
+def test_scaled_lbfgsb_identity_diag_matches_plain():
+    from optimization_solvers_tpu.solvers.lbfgsb import lbfgsb_minimize_scaled
+
+    oracle = make_oracle(problems.rosenbrock())
+    n = 8
+    rng = np.random.RandomState(1)
+    x0 = jnp.asarray(rng.uniform(-2, 2, n))
+    lo = jnp.full((n,), -5.0)
+    hi = jnp.full((n,), 5.0)
+    cfg = LbfgsbConfig(m=5, pgtol=1e-8, factr=10.0, max_iter=500)
+    r_plain = lbfgsb_minimize(oracle, x0, lo, hi, cfg)
+    r_one = lbfgsb_minimize_scaled(oracle, x0, lo, hi, jnp.ones((n,)), cfg)
+    assert int(r_one.iterations) == int(r_plain.iterations)
+    np.testing.assert_allclose(np.asarray(r_one.x), np.asarray(r_plain.x),
+                               atol=1e-10)
+
+
+def test_api_lbfgsb_precond_diag():
+    from optimization_solvers_tpu import api
+
+    n = 30
+    h = np.logspace(0, 5, n)
+    hj = jnp.asarray(h)
+    oracle = make_oracle(lambda x: 0.5 * jnp.sum(hj * x * x))
+    solver = api.Lbfgsb(n)
+    for i in range(n):
+        solver.set_lower_bound(i, -3.0)
+        solver.set_upper_bound(i, 3.0)
+    solver.set_pgtol(1e-6)
+    solver.max_iteration(100)
+    solver.set_precond_diag(h)
+    rng = np.random.RandomState(2)
+    solver.minimize(oracle, jnp.asarray(rng.uniform(-2, 2, n)))
+    assert float(solver.result.f) < 1e-10
+    assert int(solver.result.iterations) <= 3
