@@ -34,7 +34,10 @@ from optimization_solvers_tpu.solvers.quasi_newton import (
     QuasiNewtonB,
     SR1B,
 )
-from optimization_solvers_tpu.solvers.implicit import make_implicit_solver
+from optimization_solvers_tpu.solvers.implicit import (
+    make_implicit_solver,
+    make_implicit_solver_bounded,
+)
 from optimization_solvers_tpu.solvers.lbfgs import LBFGS, LbfgsState
 from optimization_solvers_tpu.solvers.nonlinear_cg import NonlinearCG
 from optimization_solvers_tpu.solvers.lbfgsb import (
@@ -72,6 +75,7 @@ __all__ = [
     "SR1B",
     "LBFGS",
     "make_implicit_solver",
+    "make_implicit_solver_bounded",
     "NonlinearCG",
     "LbfgsState",
     "LbfgsbConfig",

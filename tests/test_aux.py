@@ -122,3 +122,83 @@ def test_nonlinear_cg_quadratic_fast():
         jnp.array([180.0, 152.0]), max_iter=2000)
     assert int(cg.status) == 1
     assert int(cg.iterations) < int(gd.iterations)
+
+
+def test_implicit_bounded_active_set_gradients():
+    # x*(p) = clip(p, l, u): interior coords have dx*/dp = 1, coords pinned
+    # at a bound have 0 (strict complementarity)
+    from optimization_solvers_tpu.solvers.lbfgsb import (
+        LbfgsbConfig, lbfgsb_minimize)
+
+    n = 5
+    lo = jnp.full((n,), -1.0)
+    hi = jnp.full((n,), 1.0)
+    f = lambda x, p: 0.5 * jnp.sum((x - p) ** 2)
+
+    def solve_fn(p, x0):
+        return lbfgsb_minimize(
+            make_oracle(lambda x: f(x, p)), x0, lo, hi,
+            LbfgsbConfig(pgtol=1e-12, factr=0.0, max_iter=200)).x
+
+    x_star = solvers.make_implicit_solver_bounded(
+        f, solve_fn, lambda p: (lo, hi))
+    p = jnp.array([0.5, 2.0, -3.0, 0.9, 0.0])
+    x0 = jnp.zeros((n,))
+    np.testing.assert_allclose(
+        x_star(p, x0), np.clip(np.asarray(p), -1, 1), atol=1e-8)
+    g = jax.grad(lambda p: jnp.sum(x_star(p, x0) ** 2))(p)
+    inside = (np.asarray(p) > -1) & (np.asarray(p) < 1)
+    np.testing.assert_allclose(
+        g, 2 * np.clip(np.asarray(p), -1, 1) * inside, atol=1e-6)
+
+
+def test_implicit_bounded_parametric_bounds():
+    # upper bound IS the parameter; every coordinate rides it, so
+    # d sum(x*) / d u = n through the bounds_fn VJP path
+    from optimization_solvers_tpu.solvers.lbfgsb import (
+        LbfgsbConfig, lbfgsb_minimize)
+
+    n = 4
+    f = lambda x, p: 0.5 * jnp.sum((x - 3.0) ** 2)
+
+    def bounds_fn(p):
+        return jnp.full((n,), -1.0), p * jnp.ones((n,))
+
+    def solve_fn(p, x0):
+        l2, u2 = bounds_fn(p)
+        return lbfgsb_minimize(
+            make_oracle(lambda x: f(x, p)), x0, l2, u2,
+            LbfgsbConfig(pgtol=1e-12, factr=0.0, max_iter=200)).x
+
+    x_star = solvers.make_implicit_solver_bounded(f, solve_fn, bounds_fn)
+    x0 = jnp.zeros((n,))
+    g = jax.grad(lambda p: jnp.sum(x_star(p, x0)))(jnp.asarray(1.5))
+    np.testing.assert_allclose(float(g), float(n), atol=1e-6)
+
+
+def test_implicit_bounded_interior_matches_unbounded():
+    # with no active bounds the KKT path reduces exactly to the plain IFT
+    A = jnp.array([[2.0, 0.5], [0.0, 1.5], [1.0, 1.0]])
+    lam = 0.3
+
+    def f(x, theta):
+        r = x - A @ theta
+        return 0.5 * r @ r + 0.5 * lam * x @ x
+
+    lo = jnp.full((3,), -100.0)
+    hi = jnp.full((3,), 100.0)
+
+    def solve_fn(theta, x0):
+        oracle = make_oracle(lambda x: f(x, theta))
+        return solvers.minimize(
+            solvers.BFGS(tol=1e-12), ls.StrongWolfe(c1=1e-4, c2=0.9),
+            oracle, x0, max_iter=200).x
+
+    theta = jnp.array([0.7, -1.2])
+    x0 = jnp.zeros(3)
+    g_plain = jax.grad(lambda th: jnp.sum(
+        solvers.make_implicit_solver(f, solve_fn)(th, x0)))(theta)
+    g_kkt = jax.grad(lambda th: jnp.sum(
+        solvers.make_implicit_solver_bounded(
+            f, solve_fn, lambda p: (lo, hi))(th, x0)))(theta)
+    np.testing.assert_allclose(g_kkt, g_plain, atol=1e-10)
