@@ -8,7 +8,12 @@ from optimization_solvers_tpu.utils.telemetry import (
     summarize,
 )
 from optimization_solvers_tpu.utils.plotting import Plotter3d
-from optimization_solvers_tpu.utils.checkpoint import load_state, save_state
+from optimization_solvers_tpu.utils.checkpoint import (
+    load_state,
+    load_state_orbax,
+    save_state,
+    save_state_orbax,
+)
 from optimization_solvers_tpu.utils.profiling import trace, wall_timer
 
 __all__ = [
@@ -20,6 +25,8 @@ __all__ = [
     "Plotter3d",
     "save_state",
     "load_state",
+    "save_state_orbax",
+    "load_state_orbax",
     "trace",
     "wall_timer",
 ]

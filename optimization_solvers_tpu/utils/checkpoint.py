@@ -47,3 +47,32 @@ def load_state(path: str, like):
                 f"{jnp.shape(want)} — wrong `like` structure?"
             )
     return jax.tree.unflatten(treedef, leaves)
+
+
+def save_state_orbax(path: str, state) -> None:
+    """Orbax backend: multi-host-safe checkpointing for sharded solver
+    state (each host writes its shards; restores preserve shardings).
+    Prefer this over :func:`save_state` when the carry lives on a
+    multi-device mesh.  The pytree is stored as position-indexed leaves
+    (same convention as :func:`save_state`) so restoration is structure-
+    exact regardless of how orbax maps container types."""
+    import orbax.checkpoint as ocp
+
+    leaves = jax.tree.leaves(state)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)})
+
+
+def load_state_orbax(path: str, like):
+    """Restore a pytree saved by :func:`save_state_orbax`.  ``like``
+    supplies the tree structure (and, for sharded leaves, the target
+    shardings orbax restores onto)."""
+    import orbax.checkpoint as ocp
+
+    leaves_like, treedef = jax.tree.flatten(like)
+    item = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves_like)}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=item)
+    return jax.tree.unflatten(
+        treedef, [restored[f"leaf_{i}"] for i in range(len(leaves_like))]
+    )

@@ -202,3 +202,27 @@ def test_implicit_bounded_interior_matches_unbounded():
         solvers.make_implicit_solver_bounded(
             f, solve_fn, lambda p: (lo, hi))(th, x0)))(theta)
     np.testing.assert_allclose(g_kkt, g_plain, atol=1e-10)
+
+
+def test_checkpoint_orbax_roundtrip_and_resume(tmp_path):
+    from optimization_solvers_tpu.utils import load_state_orbax, save_state_orbax
+
+    oracle = make_oracle(problems.quadratic_2d(90.0))
+    init_fn, _, step_fn = solvers.make_step(
+        solvers.GradientDescent(grad_tol=1e-10), ls.BackTracking(), oracle)
+
+    c_ref = init_fn(jnp.array([180.0, 152.0]))
+    for _ in range(20):
+        c_ref = step_fn(c_ref)
+
+    c = init_fn(jnp.array([180.0, 152.0]))
+    for _ in range(8):
+        c = step_fn(c)
+    path = str(tmp_path / "orbax_ckpt")
+    save_state_orbax(path, c)
+    c2 = load_state_orbax(path, like=init_fn(jnp.array([0.0, 0.0])))
+    assert type(c2) is type(c)
+    for _ in range(12):
+        c2 = step_fn(c2)
+    np.testing.assert_allclose(c2.x, c_ref.x, atol=0)
+    assert int(c2.k) == int(c_ref.k) == 20
