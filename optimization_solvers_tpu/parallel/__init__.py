@@ -6,6 +6,7 @@ from optimization_solvers_tpu.parallel.sharded import (
     scaling_report,
     sharded_batch_minimize,
     sharded_lbfgsb_minimize,
+    sharded_lbfgsb_solve_fused,
     sharded_summary,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "batch_sharding",
     "sharded_batch_minimize",
     "sharded_lbfgsb_minimize",
+    "sharded_lbfgsb_solve_fused",
     "sharded_summary",
     "scaling_report",
 ]

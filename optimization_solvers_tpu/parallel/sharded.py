@@ -157,3 +157,39 @@ def scaling_report(
             rec["efficiency"] = rec["solves_per_sec"] / ideal
         records.append(rec)
     return records
+
+def sharded_lbfgsb_solve_fused(
+    f,
+    x0: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    consts: tuple = (),
+    *,
+    mesh: Mesh,
+    axis: str = "dp",
+    **fused_kwargs,
+) -> SolveResult:
+    """Multi-chip fused path: ``shard_map`` of the fused Pallas L-BFGS-B
+    kernel over the batch axis — each device runs its shard's VMEM-resident
+    tiles to completion independently (same no-cross-device-lockstep
+    argument as :func:`sharded_batch_minimize`, but at fused-kernel speed).
+
+    The per-device shard size must be a multiple of the kernel ``tile``.
+    ``consts`` (problem-data arrays) are closed over, i.e. replicated.
+    """
+    from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None), P(None)),
+        out_specs=_result_specs(axis),
+        check_vma=False,
+    )
+    def solve_shard(x0_local, lo, up):
+        return lbfgsb_solve_fused(
+            f, x0_local, lo, up, consts, **fused_kwargs
+        )
+
+    x0 = jax.device_put(x0, NamedSharding(mesh, P(axis, None)))
+    return jax.jit(solve_shard)(x0, lower, upper)

@@ -87,3 +87,27 @@ def test_scaling_report_runs():
 def test_make_mesh_helper():
     mesh = make_mesh((8, 1))
     assert mesh.shape == {"dp": 8, "tp": 1}
+
+
+def test_sharded_fused_lbfgsb_matches_single_device():
+    # the fused kernel under shard_map (interpret mode) must agree
+    # lane-for-lane with the same kernel run unsharded
+    from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
+    from optimization_solvers_tpu.parallel import (
+        make_mesh, sharded_lbfgsb_solve_fused)
+
+    f = problems.rosenbrock()
+    n, B = 8, 32                      # 8 devices x shard 4, tile 4
+    x0 = jnp.asarray(np.random.RandomState(3).uniform(-2, 2, (B, n)))
+    lo = jnp.full((n,), -3.0)
+    hi = jnp.full((n,), 3.0)
+    mesh = make_mesh((8,), ("dp",))
+    kw = dict(m=5, pgtol=1e-6, factr=10.0, max_iter=300, tile=4,
+              interpret=True)
+    r_sharded = sharded_lbfgsb_solve_fused(
+        f, x0, lo, hi, mesh=mesh, axis="dp", **kw)
+    r_single = lbfgsb_solve_fused(f, x0, lo, hi, **kw)
+    np.testing.assert_allclose(
+        np.asarray(r_sharded.x), np.asarray(r_single.x), atol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(r_sharded.iterations), np.asarray(r_single.iterations))
