@@ -32,9 +32,12 @@ from optimization_solvers_tpu.core.oracle import make_oracle
 from optimization_solvers_tpu.solvers.lbfgsb import LbfgsbConfig, lbfgsb_minimize
 from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
 
+import os
+
 N = 100
-BATCH = 10_240          # multiple of the kernel tile
-TILE = 512   # VMEM sweet spot (1024 exceeds the 16 MB scoped limit)
+BATCH = int(os.environ.get("BENCH_BATCH", 10_240))  # multiple of the tile
+# VMEM sweet spot (1024 exceeds the 16 MB scoped limit); override to probe
+TILE = int(os.environ.get("BENCH_TILE", 512))
 M = 5                   # reference default (lbfgsb.rs:91)
 PGTOL = 1e-3            # accuracy target for BOTH device and cpu baseline
 FACTR = 100.0           # ~1.2e-5 relative-decrease stall guard in f32

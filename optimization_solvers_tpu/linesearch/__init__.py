@@ -12,7 +12,7 @@ from optimization_solvers_tpu.linesearch.backtracking import BackTracking, BackT
 from optimization_solvers_tpu.linesearch.morethuente import MoreThuente, MoreThuenteB
 from optimization_solvers_tpu.linesearch.dcsrch import StrongWolfe
 from optimization_solvers_tpu.linesearch.gll import GLLQuadratic
-from optimization_solvers_tpu.linesearch.hager_zhang import HagerZhang
+from optimization_solvers_tpu.linesearch.hager_zhang import HagerZhang, HagerZhangB
 from optimization_solvers_tpu.linesearch.nosearch import NoSearch
 
 __all__ = [
@@ -25,6 +25,7 @@ __all__ = [
     "StrongWolfe",
     "GLLQuadratic",
     "HagerZhang",
+    "HagerZhangB",
     "NoSearch",
     "strong_wolfe",
     "sufficient_decrease",

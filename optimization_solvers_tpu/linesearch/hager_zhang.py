@@ -61,8 +61,13 @@ class HagerZhang(LineSearch):
     gamma: float = 0.66
     rho: float = 5.0
 
+    def _t_max(self, x, d, bounds: Bounds, dtype):
+        """Max admissible step; overridden by the bounded variant."""
+        return jnp.asarray(jnp.inf, dtype)
+
     def step_len(self, oracle, x, ev, d, state, bounds: Bounds, max_iter: int):
         dtype = x.dtype
+        t_max = self._t_max(x, d, bounds, dtype)
         delta = jnp.asarray(self.delta, dtype)
         sigma = jnp.asarray(self.sigma, dtype)
         theta = jnp.asarray(self.theta, dtype)
@@ -94,6 +99,10 @@ class HagerZhang(LineSearch):
             a, da_, b, c, mode, t_best, f_best, shrink_ref, done, i = carry
             fc, dc = phi(c)
             ok = accept(c, fc, dc)
+            # at the feasibility cap and still descending in-domain: the
+            # boundary point is the answer (mirrors the bounded searches'
+            # stpmx semantics)
+            ok = ok | ((c >= t_max) & (dc < 0.0) & (fc <= f_eps))
             # track the best feasible point seen, returned on max_iter exhaustion
             better = (fc < f_best) & (c > 0.0)
             t_best = jnp.where(ok, c, jnp.where(better, c, t_best))
@@ -112,9 +121,9 @@ class HagerZhang(LineSearch):
             b_new = jnp.where(to_secant | to_bisect, c, b)
 
             # ---- next trial per mode --------------------------------------
-            # bracketing phase grows geometrically; everything else works
-            # inside [a_new, b_new].
-            grow = rho * c
+            # bracketing phase grows geometrically (capped at the max
+            # admissible step); everything else works inside [a_new, b_new].
+            grow = jnp.minimum(rho * c, t_max)
             bis = (1.0 - theta) * a_new + theta * b_new
             denom = dc - da_new
             sec = jnp.where(
@@ -162,9 +171,9 @@ class HagerZhang(LineSearch):
             jnp.asarray(0.0, dtype),  # a
             d0,  # phi'(a)
             big,  # b (unset until bracketed)
-            jnp.asarray(1.0, dtype),  # first trial
+            jnp.minimum(jnp.asarray(1.0, dtype), t_max),  # first trial
             jnp.int32(_BRACKET),
-            jnp.asarray(1.0, dtype),  # t_best fallback
+            jnp.minimum(jnp.asarray(1.0, dtype), t_max),  # t_best fallback
             big,  # f_best
             big,  # shrink_ref
             jnp.asarray(False),
@@ -173,3 +182,22 @@ class HagerZhang(LineSearch):
         carry = lax.while_loop(cond, body, carry0)
         t = carry[5]
         return t, state
+
+
+@dataclasses.dataclass(frozen=True)
+class HagerZhangB(HagerZhang):
+    """Box-constrained Hager-Zhang: the bracketing expansion is capped at
+    the per-coordinate max feasible step to the box boundary
+    ``min_i (bound_i - x_i)/d_i`` (the same stpmx geometry as
+    :class:`~optimization_solvers_tpu.linesearch.MoreThuenteB`, reference
+    ``morethuente_b.rs:185-201``); a boundary trial that is still a
+    descent point in the eps band is accepted as the answer."""
+
+    def _t_max(self, x, d, bounds: Bounds, dtype):
+        assert bounds is not None, "HagerZhangB requires bounds"
+        lower, upper = bounds
+        pos = (upper - x) / d
+        neg = (lower - x) / d
+        terms = jnp.where(d > 0.0, pos, jnp.where(d < 0.0, neg, jnp.inf))
+        terms = jnp.where(jnp.isnan(terms), jnp.inf, terms)
+        return jnp.min(terms)

@@ -172,3 +172,27 @@ def test_hager_zhang_vmaps():
     ts_batched = jax.vmap(one)(xs)
     for i in range(xs.shape[0]):
         np.testing.assert_allclose(ts_batched[i], one(xs[i]), rtol=1e-15)
+
+
+def test_hager_zhang_b_respects_boundary():
+    bounds = (jnp.array([-1.0, -1.0]), jnp.array([1.0, 1.0]))
+    oracle = make_oracle(problems.shifted_quadratic_2d())
+    x = jnp.array([0.0, 0.0])
+    ev = oracle(x)
+    d = -ev.g  # points to (4, 6), outside the box
+    t, _ = ls.HagerZhangB().step_len(oracle, x, ev, d, None, bounds, 60)
+    x_new = x + float(t) * d
+    assert jnp.all(x_new <= bounds[1] + 1e-10)
+    assert jnp.all(x_new >= bounds[0] - 1e-10)
+    assert float(oracle.value(x + t * d)) < float(ev.f)
+
+
+def test_hager_zhang_b_unconstrained_when_box_far():
+    # with a huge box the bounded variant behaves like the base search
+    bounds = (jnp.full((2,), -1e6), jnp.full((2,), 1e6))
+    oracle = make_oracle(problems.quadratic_2d(999.0))
+    x = jnp.array([1.0, 1.0])
+    ev = oracle(x)
+    t_b, _ = ls.HagerZhangB().step_len(oracle, x, ev, -ev.g, None, bounds, 50)
+    t_u, _ = ls.HagerZhang().step_len(oracle, x, ev, -ev.g, None, None, 50)
+    np.testing.assert_allclose(float(t_b), float(t_u), rtol=1e-12)
