@@ -109,3 +109,41 @@ def test_lbfgsb_matches_native_cpp(seed, n):
         max_iter=500)
     assert status == 1 and int(r_jax.status) == 1
     np.testing.assert_allclose(np.asarray(r_jax.x), x_cpp, atol=1e-5)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_seed, _dim, _logcond)
+def test_hager_zhang_accepts_wolfe_or_approx_wolfe(seed, n, logcond):
+    f, x = _problem(seed, n, logcond)
+    oracle = make_oracle(f)
+    ev = oracle(x)
+    d = -ev.g
+    search = ls.HagerZhang()
+    t, _ = search.step_len(oracle, x, ev, d, None, None, 50)
+    ev_t = oracle(x + t * d)
+    g0d = float(ev.g @ d)
+    gtd = float(ev_t.g @ d)
+    f0, ft = float(ev.f), float(ev_t.f)
+    eps_band = ft <= f0 + search.eps * abs(f0) + 1e-12
+    wolfe = (ft - f0 <= search.delta * float(t) * g0d + 1e-10) and (
+        gtd >= search.sigma * g0d - 1e-10)
+    approx = (gtd <= (2 * search.delta - 1) * g0d + 1e-10) and (
+        gtd >= search.sigma * g0d - 1e-10) and eps_band
+    assert wolfe or approx
+
+
+@settings(max_examples=20, deadline=None)
+@given(_seed, _dim)
+def test_hager_zhang_b_feasible(seed, n):
+    f, x = _problem(seed, n, 2.0)
+    rng = np.random.RandomState(seed + 3)
+    lo = jnp.asarray(np.asarray(x) - rng.uniform(0.1, 2.0, n))
+    hi = jnp.asarray(np.asarray(x) + rng.uniform(0.1, 2.0, n))
+    oracle = make_oracle(f)
+    ev = oracle(x)
+    d = -ev.g
+    t, _ = ls.HagerZhangB().step_len(oracle, x, ev, d, None, (lo, hi), 50)
+    x_new = x + t * d
+    assert bool(jnp.all(x_new >= lo - 1e-10))
+    assert bool(jnp.all(x_new <= hi - -1e-10)) or bool(
+        jnp.all(x_new <= hi + 1e-10))
