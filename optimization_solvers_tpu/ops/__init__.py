@@ -12,6 +12,11 @@ def __getattr__(name):
     if name == "lbfgsb_solve_fused":
         from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
         return lbfgsb_solve_fused
+    if name == "lbfgsb_solve_fused_scaled":
+        from optimization_solvers_tpu.ops.pallas_lbfgsb import (
+            lbfgsb_solve_fused_scaled,
+        )
+        return lbfgsb_solve_fused_scaled
     if name == "spg_solve_fused":
         from optimization_solvers_tpu.ops.pallas_spg import spg_solve_fused
         return spg_solve_fused
@@ -27,6 +32,7 @@ __all__ = [
     "config",
     "lbfgs_solve_fused",
     "lbfgsb_solve_fused",
+    "lbfgsb_solve_fused_scaled",
     "spg_solve_fused",
     "bfgs_solve_fused",
 ]

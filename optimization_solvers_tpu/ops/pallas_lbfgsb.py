@@ -683,3 +683,32 @@ def lbfgsb_solve_fused(
     f_host = (lambda x: f(x, *consts)) if consts else f
     _, g_final = jax.vmap(jax.value_and_grad(f_host))(x_final)
     return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])
+
+
+def lbfgsb_solve_fused_scaled(
+    f: Callable,
+    x0: jax.Array,                  # (B, n)
+    lower: jax.Array,               # (n,)
+    upper: jax.Array,               # (n,)
+    diag: jax.Array,                # (n,) positive preconditioner diagonal
+    consts: tuple = (),
+    **fused_kwargs,
+) -> SolveResult:
+    """Scaled (diagonally preconditioned) fused solve: the same exact change
+    of variables as :func:`solvers.lbfgsb_minimize_scaled` (``z = sqrt(d) x``
+    maps boxes to boxes and makes the kernel's implicit ``theta*I`` scaling
+    equal ``theta*diag(d)`` in the original coordinates), applied around the
+    whole-solve VMEM kernel.  ``pgtol``/``factr`` act in the scaled metric."""
+    s = jnp.sqrt(jnp.asarray(diag, x0.dtype))
+
+    # the scale rides the kernel's problem-data (consts) path: pallas
+    # kernels cannot close over traced arrays
+    def fz(z, s_, *cs):
+        return f(z / s_, *cs)
+
+    r = lbfgsb_solve_fused(
+        fz, x0 * s[None, :], lower * s, upper * s, (s, *consts),
+        **fused_kwargs
+    )
+    return SolveResult(r.x / s[None, :], r.f, r.g * s[None, :],
+                       r.iterations, r.status)

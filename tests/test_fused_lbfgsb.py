@@ -64,3 +64,25 @@ def test_fused_lbfgsb_matches_unfused_quality():
     # both reach the same minimizer at tolerance (different line searches,
     # so iteration counts differ)
     np.testing.assert_allclose(fused.x, unfused.x, atol=1e-4)
+
+
+def test_fused_lbfgsb_scaled_ill_conditioned():
+    # Jacobi scaling makes the cond-1e6 diagonal quadratic a one-iteration
+    # problem for the fused kernel too (interpret mode)
+    from optimization_solvers_tpu.ops.pallas_lbfgsb import (
+        lbfgsb_solve_fused_scaled)
+
+    n, B = 16, 8
+    h = jnp.asarray(np.logspace(0, 6, n))
+    # the Hessian diagonal rides the consts path (kernels cannot close
+    # over traced arrays)
+    f = lambda x, hh: 0.5 * jnp.sum(hh * x * x)
+    x0 = jnp.asarray(np.random.RandomState(0).uniform(-2, 2, (B, n)))
+    res = lbfgsb_solve_fused_scaled(
+        f, x0, jnp.full(n, -3.0), jnp.full(n, 3.0), h, consts=(h,),
+        m=5, pgtol=1e-6, factr=0.0, max_iter=50, tile=8, interpret=True)
+    assert int((res.status == Status.CONVERGED).sum()) == B
+    assert float(jnp.max(res.iterations)) <= 3
+    assert float(jnp.max(res.f)) < 1e-12
+    # results come back in the original coordinates
+    assert float(jnp.max(jnp.abs(res.x))) < 1e-6
