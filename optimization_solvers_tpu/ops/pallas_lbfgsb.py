@@ -512,8 +512,33 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
 
             s_vec = X_new - X[...]
             y_vec = g_new - G[...]
-            sy = jnp.sum(s_vec * y_vec, axis=0, keepdims=True)
-            yy = jnp.sum(y_vec * y_vec, axis=0, keepdims=True)
+            if n_consts:
+                # consts-bearing kernels: the plain lane reduction here gets
+                # a replicated-layout accumulator Mosaic cannot lower
+                # ("Unsupported output implicit dimension").  An unrolled
+                # halving tree of static row-slices lowers cleanly with no
+                # extra scoped VMEM (an MXU ones-row contraction also lowers
+                # but its staging blows the 16 MB scoped limit).  Kept off
+                # the const-free path so the validated headline kernel stays
+                # bit-identical.
+                def lane_sum(v):
+                    while v.shape[0] > 1:
+                        k = v.shape[0]
+                        half = k // 2
+                        head = v[:half] + v[half : 2 * half]
+                        if k % 2:
+                            first = lax.broadcasted_iota(
+                                jnp.int32, (half, T), 0
+                            ) == 0
+                            head = head + jnp.where(first, v[-1:], 0.0)
+                        v = head
+                    return v
+
+                sy = lane_sum(s_vec * y_vec)
+                yy = lane_sum(y_vec * y_vec)
+            else:
+                sy = jnp.sum(s_vec * y_vec, axis=0, keepdims=True)
+                yy = jnp.sum(y_vec * y_vec, axis=0, keepdims=True)
             accept = active & ok & (sy > curvature_eps * yy)
 
             # shift the chronological history (static indices only; the
@@ -579,7 +604,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
     jax.jit,
     static_argnames=(
         "f", "m", "pgtol", "factr", "max_iter", "max_iter_ls", "tile", "c1",
-        "interpret",
+        "interpret", "vmem_limit_bytes",
     ),
 )
 def lbfgsb_solve_fused(
@@ -597,6 +622,7 @@ def lbfgsb_solve_fused(
     tile: int = 128,
     c1: float = 1e-3,
     interpret: bool = False,
+    vmem_limit_bytes: int = None,
 ) -> SolveResult:
     """Batched box-constrained solves with the fused L-BFGS-B kernel.
 
@@ -677,6 +703,18 @@ def lbfgsb_solve_fused(
         ),
         scratch_shapes=scratch,
         interpret=interpret,
+        # None keeps the default 16 MB scoped limit (and the compile-cache
+        # key of every existing shape); consts-bearing kernels need more —
+        # their scoped-vmem accounting inflates ~3x (v5e has 128 MB VMEM)
+        **(
+            {}
+            if vmem_limit_bytes is None
+            else {
+                "compiler_params": pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem_limit_bytes
+                )
+            }
+        ),
     )(xT, loT, upT, *consts)
 
     x_final = x_out[0].T
@@ -698,16 +736,29 @@ def lbfgsb_solve_fused_scaled(
     of variables as :func:`solvers.lbfgsb_minimize_scaled` (``z = sqrt(d) x``
     maps boxes to boxes and makes the kernel's implicit ``theta*I`` scaling
     equal ``theta*diag(d)`` in the original coordinates), applied around the
-    whole-solve VMEM kernel.  ``pgtol``/``factr`` act in the scaled metric."""
+    whole-solve VMEM kernel.  ``pgtol``/``factr`` act in the scaled metric.
+
+    Real-TPU notes (validated on v5e): consts-bearing kernels take the
+    tree-sum pair-update reduction automatically (the plain lane reduction
+    hits a Mosaic lowering gap, see ``_make_kernel``), and this wrapper
+    defaults ``vmem_limit_bytes`` to 64 MB because the consts path inflates
+    the compiler's scoped-VMEM accounting ~3x past the 16 MB default (v5e
+    has 128 MB physical VMEM).  Override either via ``fused_kwargs``."""
     s = jnp.sqrt(jnp.asarray(diag, x0.dtype))
 
     # the scale rides the kernel's problem-data (consts) path: pallas
-    # kernels cannot close over traced arrays
+    # kernels cannot close over traced arrays.  Shipped as a (1, n) block,
+    # and materialized to the iterate's batched layout via `+ 0*z` before
+    # the division: an unbatched const broadcast into the per-lane oracle
+    # produces a replicated ("implicit dimension") Mosaic layout that the
+    # downstream pair-update reduction cannot lower on real TPU (interpret
+    # mode accepts it).
     def fz(z, s_, *cs):
-        return f(z / s_, *cs)
+        return f(z / (s_[0] + 0.0 * z), *cs)
 
+    fused_kwargs.setdefault("vmem_limit_bytes", 64 * 1024 * 1024)
     r = lbfgsb_solve_fused(
-        fz, x0 * s[None, :], lower * s, upper * s, (s, *consts),
+        fz, x0 * s[None, :], lower * s, upper * s, (s[None, :], *consts),
         **fused_kwargs
     )
     return SolveResult(r.x / s[None, :], r.f, r.g * s[None, :],
