@@ -59,7 +59,6 @@ def main():
     base = records[0]["seconds"]
     for r in records:
         r["overhead_vs_single"] = r["seconds"] / base
-        r.pop("efficiency", None)
     print(json.dumps({
         "metric": "lbfgsb_dp_shardmap_overhead",
         "workload": f"{BATCH}x Rosenbrock-{N} L-BFGS-B, shard_map dp",

@@ -19,6 +19,7 @@ surface on top of it so code written against the Rust API maps one-to-one:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -60,6 +61,28 @@ def _raise_on_error(result: SolveResult) -> None:
         raise _STATUS_ERRORS[code]()
 
 
+@functools.lru_cache(maxsize=128)
+def _cached_solve(method, line_search, oracle, has_bounds: bool,
+                  max_iter: int, max_iter_ls: int):
+    """Jit-compiled ``(x0, bounds) -> SolveResult`` keyed on the static solve
+    config, so repeated facade ``minimize`` calls reuse one compiled
+    while-loop instead of retracing per call (methods and line searches are
+    frozen dataclasses, hence hashable; oracles key by identity)."""
+
+    def run(x0, bounds):
+        return _solvers.minimize(
+            method, line_search, oracle, x0, bounds=bounds,
+            max_iter=max_iter, max_iter_ls=max_iter_ls,
+        )
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_oracle(objective, with_hessian: bool):
+    return make_oracle(objective, with_hessian=with_hessian)
+
+
 class _TemplateSolver:
     """Shared ``minimize`` plumbing: run the functional core, keep the final
     iterate/iteration count as object state (the reference mutates ``self.x``
@@ -79,11 +102,25 @@ class _TemplateSolver:
     def minimize(self, line_search, oracle, max_iter_solver: int = 1000,
                  max_iter_line_search: int = 100, callback=None) -> None:
         oracle = ensure_oracle(oracle)
-        result = _solvers.minimize(
-            self._method, line_search, oracle, self.x,
-            bounds=self._bounds, max_iter=max_iter_solver,
-            max_iter_ls=max_iter_line_search, callback=callback,
-        )
+        result = None
+        if callback is None:
+            try:
+                solve = _cached_solve(
+                    self._method, line_search, oracle,
+                    self._bounds is not None,
+                    max_iter_solver, max_iter_line_search,
+                )
+                result = solve(self.x, self._bounds)
+            except TypeError:
+                # unhashable config (e.g. PnormDescent's inverse_p array):
+                # fall back to the eager path
+                result = None
+        if result is None:
+            result = _solvers.minimize(
+                self._method, line_search, oracle, self.x,
+                bounds=self._bounds, max_iter=max_iter_solver,
+                max_iter_ls=max_iter_line_search, callback=callback,
+            )
         self._result = result
         self.x = result.x
         self.k = int(result.iterations)
@@ -292,11 +329,11 @@ class OptimizationSolver:
 
     def _run(self, method, search, oracle, x0) -> OptimizationResult:
         try:
-            result = _solvers.minimize(
-                method, search, oracle, jnp.asarray(x0, jnp.float64)
-                if jax.config.jax_enable_x64 else jnp.asarray(x0),
-                max_iter=self.max_iterations, max_iter_ls=100,
-            )
+            x0_arr = (jnp.asarray(x0, jnp.float64)
+                      if jax.config.jax_enable_x64 else jnp.asarray(x0))
+            solve = _cached_solve(method, search, oracle, False,
+                                  self.max_iterations, 100)
+            result = solve(x0_arr, None)
             ok = int(result.status) == int(Status.CONVERGED)
             return OptimizationResult(
                 x=[float(v) for v in result.x],
@@ -318,7 +355,7 @@ class OptimizationSolver:
         return self._run(
             _solvers.GradientDescent(grad_tol=self.tolerance),
             ls.BackTracking(c1=1e-4, beta=0.5),
-            make_oracle(objective), x0,
+            _cached_oracle(objective, False), x0,
         )
 
     def solve_bfgs(self, x0: Sequence[float],
@@ -326,7 +363,7 @@ class OptimizationSolver:
         # wasm.rs:133-187: BFGS + MoreThuente
         return self._run(
             _solvers.BFGS(tol=self.tolerance), ls.MoreThuente(),
-            make_oracle(objective), x0,
+            _cached_oracle(objective, False), x0,
         )
 
     def solve_newton(self, x0: Sequence[float],
@@ -335,5 +372,5 @@ class OptimizationSolver:
         return self._run(
             _solvers.Newton(tol=self.tolerance),
             ls.BackTracking(c1=1e-4, beta=0.5),
-            make_oracle(objective, with_hessian=True), x0,
+            _cached_oracle(objective, True), x0,
         )

@@ -101,15 +101,29 @@ def sharded_lbfgsb_minimize(
     return jax.jit(solve_shard)(x0, lower, upper)
 
 
+@jax.jit
+def _summary_reduce(status, iterations):
+    return (
+        jnp.sum(status == Status.CONVERGED),
+        jnp.sum(iterations),
+        jnp.max(iterations),
+    )
+
+
 def sharded_summary(result: SolveResult, mesh: Mesh, axis: str = "dp") -> dict:
-    """Global convergence telemetry: one psum-style reduction over the
-    sharded result (runs as XLA collectives over ICI on real hardware)."""
-    converged = jnp.sum(result.status == Status.CONVERGED)
-    total_iters = jnp.sum(result.iterations)
+    """Global convergence telemetry reduced ON DEVICE: the jitted reduction
+    runs over the sharded result arrays, so XLA lowers the sums to
+    all-reduce collectives over ICI on real multi-chip hardware (SURVEY.md
+    §5 device-side convergence telemetry); only the three scalars cross to
+    the host."""
+    converged, total_iters, max_iters = _summary_reduce(
+        result.status, result.iterations
+    )
     return {
         "instances": int(result.status.shape[0]),
         "converged": int(converged),
         "total_iterations": int(total_iters),
+        "max_iterations": int(max_iters),
     }
 
 
@@ -131,11 +145,7 @@ def scaling_report(
     records = []
     base = None
     for nd in device_counts:
-        devices = jax.devices()[:nd]
-        mesh = Mesh(
-            jnp.array(devices).reshape(nd).tolist()
-            if False else devices, axis_names,
-        )
+        mesh = Mesh(jax.devices()[:nd], axis_names)
         if warmup:
             jax.block_until_ready(solve_fn(mesh))
         t0 = time.perf_counter()
@@ -153,8 +163,10 @@ def scaling_report(
             base = rec
             rec["efficiency"] = 1.0
         else:
-            ideal = base["solves_per_sec"] * nd / base["devices"]
-            rec["efficiency"] = rec["solves_per_sec"] / ideal
+            # BASELINE.md metric: iterations/s scaling efficiency relative
+            # to linear scaling of the single-device run.
+            ideal = base["iters_per_sec"] * nd / base["devices"]
+            rec["efficiency"] = rec["iters_per_sec"] / ideal
         records.append(rec)
     return records
 

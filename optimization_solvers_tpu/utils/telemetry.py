@@ -105,6 +105,11 @@ class Tracer:
         trace_alias = {"TRACE": "DEBUG"}
         logger.setLevel(getattr(logging, trace_alias.get(level_name, level_name),
                                 logging.INFO))
+        # build() REPLACES the logging config (the reference installs a fresh
+        # subscriber per Tracer); appending would double-log on rebuild.
+        for h in list(logger.handlers):
+            logger.removeHandler(h)
+            h.close()
         for h in self._handlers:
             logger.addHandler(h)
         return logger

@@ -145,5 +145,4 @@ def test_hager_zhang_b_feasible(seed, n):
     t, _ = ls.HagerZhangB().step_len(oracle, x, ev, d, None, (lo, hi), 50)
     x_new = x + t * d
     assert bool(jnp.all(x_new >= lo - 1e-10))
-    assert bool(jnp.all(x_new <= hi - -1e-10)) or bool(
-        jnp.all(x_new <= hi + 1e-10))
+    assert bool(jnp.all(x_new <= hi + 1e-10))
