@@ -72,7 +72,11 @@ def make_oracle(
         h = hess(x) if hess is not None else None
         return FuncEval(fv, g, h)
 
-    return Oracle(full, value_fn=f)
+    oracle = Oracle(full, value_fn=f)
+    # keep the raw scalar objective around: the fused whole-solve kernels
+    # (ops/pallas_driver.py and friends) trace it directly into the kernel
+    oracle.raw_f = f
+    return oracle
 
 
 def ensure_oracle(oracle) -> Oracle:

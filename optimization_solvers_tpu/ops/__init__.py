@@ -23,6 +23,12 @@ def __getattr__(name):
     if name == "bfgs_solve_fused":
         from optimization_solvers_tpu.ops.pallas_bfgs import bfgs_solve_fused
         return bfgs_solve_fused
+    if name == "fused_minimize":
+        from optimization_solvers_tpu.ops.pallas_driver import fused_minimize
+        return fused_minimize
+    if name == "fused_supported":
+        from optimization_solvers_tpu.ops.pallas_driver import fused_supported
+        return fused_supported
     raise AttributeError(name)
 
 
@@ -35,4 +41,6 @@ __all__ = [
     "lbfgsb_solve_fused_scaled",
     "spg_solve_fused",
     "bfgs_solve_fused",
+    "fused_minimize",
+    "fused_supported",
 ]

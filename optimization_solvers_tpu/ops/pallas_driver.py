@@ -1,0 +1,669 @@
+"""Generic fused whole-solve Pallas TPU kernel, parameterized over
+(method, line search): the reference template loop
+(``/root/reference/src/ls_solver.rs:66-111``) compiled into ONE Mosaic
+program per (method, search) combo instead of a chain of small XLA ops.
+
+Why this exists: the flexible vmapped ``lax.while_loop`` driver path is
+small-op dispatch-bound on TPU (~4% VPU; it measured *slower than one CPU
+core* on the round-1 headline).  The round-1 fix was four hand-written
+whole-solve kernels (L-BFGS, L-BFGS-B, dense BFGS, SPG); this module is the
+general middle ground: tile-level "method specs" and "search specs" plug
+into one shared kernel skeleton, so every first-order method × Armijo-family
+search combo gets fused-kernel speed without a bespoke kernel.
+
+Supported methods (reference files in ``src/steepest_descent/``):
+  GradientDescent, CoordinateDescent (Gauss-Southwell), PnormDescent,
+  ProjectedGradientDescent, SpectralProjectedGradient, NonlinearCG
+  (fr/pr+/hs/dy — no reference counterpart).
+Supported searches (``src/line_search/``): BackTracking, BackTrackingB,
+  GLLQuadratic (with the safeguarded quadratic interpolation trial update,
+  ``gll_quadratic.rs:78-93``), NoSearch.
+
+Mosaic structure follows :mod:`pallas_lbfgs` (learned the hard way, see its
+docstring): scalar-only loop carries, all evolving state in VMEM scratch
+refs, lane-last (n, T) layout, shift-not-ring history buffers, and — on
+consts-bearing kernels — halving-tree lane reductions (the plain
+``jnp.sum(axis=0)`` gets a replicated-layout accumulator Mosaic cannot
+lower).
+
+Semantics deviations from the unfused path (documented, test-covered):
+  * line searches run in lockstep with per-lane accept masks; the
+    out-of-domain "shrink without consuming an iteration" bookkeeping of
+    ``backtracking.rs:37-41`` is folded into the single trial budget;
+  * a lane that converges exactly at the iteration budget reports
+    CONVERGED (the unfused driver reports MAX_ITER_REACHED there).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from optimization_solvers_tpu.core.types import SolveResult, Status
+from optimization_solvers_tpu.ops.pallas_lbfgs import (
+    _batched_value,
+    _batched_value_and_grad,
+)
+
+
+class _Ctx:
+    """Tile-level context handed to specs: bounds values, lane reducers."""
+
+    def __init__(self, n, T, dtype, lo, up, safe_reduce):
+        self.n = n
+        self.T = T
+        self.dtype = dtype
+        self.lo = lo          # (n, T) or None
+        self.up = up          # (n, T) or None
+        self._safe = safe_reduce
+
+    # (n, T) -> (1, T) reductions.  With const inputs present, Mosaic cannot
+    # lower the plain axis-0 reduction (replicated-layout accumulator); an
+    # unrolled halving tree of static row slices always lowers.
+    def sum(self, v):
+        if not self._safe:
+            return jnp.sum(v, axis=0, keepdims=True)
+        while v.shape[0] > 1:
+            k = v.shape[0]
+            half = k // 2
+            head = v[:half] + v[half:2 * half]
+            if k % 2:
+                first = lax.broadcasted_iota(jnp.int32, (half, v.shape[1]), 0) == 0
+                head = head + jnp.where(first, v[-1:], 0.0)
+            v = head
+        return v
+
+    def max(self, v):
+        if not self._safe:
+            return jnp.max(v, axis=0, keepdims=True)
+        while v.shape[0] > 1:
+            k = v.shape[0]
+            half = k // 2
+            head = jnp.maximum(v[:half], v[half:2 * half])
+            if k % 2:
+                first = lax.broadcasted_iota(jnp.int32, (half, v.shape[1]), 0) == 0
+                head = jnp.where(first, jnp.maximum(head, v[-1:]), head)
+            v = head
+        return v
+
+    def clip(self, v):
+        return jnp.clip(v, self.lo, self.up)
+
+
+# ---------------------------------------------------------------------------
+# Method specs: tile-level (n, T) re-expressions of the solver configs in
+# solvers/steepest.py and solvers/nonlinear_cg.py.  Each spec declares its
+# scratch state slots and implements init / converged / direction / post_step
+# over refs.
+# ---------------------------------------------------------------------------
+
+
+class _GDSpec:
+    """GradientDescent: d = -g, ||g||_inf test (gradient_descent.rs:24-53)."""
+
+    bounded = False
+
+    def __init__(self, method):
+        self.tol = float(method.grad_tol)
+
+    def scratch(self, n, T, dtype):
+        return []
+
+    def const_arrays(self):
+        return ()
+
+    def init(self, st, X, G, Fv, ctx):
+        pass
+
+    def converged(self, st, X, G, Fv, ctx):
+        return ctx.max(jnp.abs(G)) < self.tol
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        return -G
+
+    def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
+        pass
+
+
+class _CDSpec(_GDSpec):
+    """Gauss-Southwell coordinate descent: -sign(g_i) e_i at the largest
+    |g_i| (coordinate_descent.rs:24-46; textbook sign, see steepest.py)."""
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        a = jnp.abs(G)
+        amax = ctx.max(a)
+        ii = lax.broadcasted_iota(jnp.int32, (ctx.n, ctx.T), 0)
+        # first-max tie-break = jnp.argmax semantics on the unfused path
+        idx = -ctx.max(jnp.where(a == amax, -ii, -ctx.n).astype(jnp.int32)
+                       .astype(ctx.dtype)).astype(jnp.int32)
+        onehot = (ii == idx).astype(ctx.dtype)
+        return -jnp.sign(G) * onehot
+
+
+class _PnormSpec(_GDSpec):
+    """Preconditioned steepest descent d = -P^{-1} g
+    (pnorm_descent.rs:30-37); P^{-1} rides as an (n, n) const input and the
+    direction is one MXU contraction per iteration."""
+
+    def __init__(self, method):
+        self.tol = float(method.grad_tol)
+        self._pinv = jnp.asarray(method.inverse_p)
+
+    def const_arrays(self):
+        return (self._pinv,)
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        pinv = ctx.method_consts[0]
+        return -lax.dot_general(
+            pinv, G, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        ).astype(ctx.dtype)
+
+
+class _PGDSpec(_GDSpec):
+    """Projected gradient (Andrei alg. 12.1): d = P(x - g) - x, projected
+    gradient ||.||_inf test (projected_gradient_descent.rs:50-83)."""
+
+    bounded = True
+
+    def converged(self, st, X, G, Fv, ctx):
+        pg = X - ctx.clip(X - G)
+        return ctx.max(jnp.abs(pg)) < self.tol
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        return ctx.clip(X - G) - X
+
+
+class _SPGSpec(_PGDSpec):
+    """Spectral projected gradient: BB-scaled projected gradient step
+    (spg.rs:39-46 seeding, spg.rs:134-143 safeguarded update)."""
+
+    def __init__(self, method):
+        self.tol = float(method.grad_tol)
+        self.lam_min = float(method.lambda_min)
+        self.lam_max = float(method.lambda_max)
+
+    def scratch(self, n, T, dtype):
+        return [((1, T), dtype)]  # lam
+
+    def init(self, st, X, G, Fv, ctx):
+        (lam,) = st
+        d0 = ctx.clip(X[...] - G[...]) - X[...]
+        l0 = 1.0 / ctx.max(jnp.abs(d0))
+        lam[...] = jnp.clip(l0, self.lam_min, self.lam_max)
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        (lam,) = st
+        return ctx.clip(X - lam[...] * G) - X
+
+    def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
+        (lam,) = st
+        s = X - X_old
+        y = G - G_old
+        sy = ctx.sum(s * y)
+        lam_bb = jnp.clip(ctx.sum(s * s) / sy, self.lam_min, self.lam_max)
+        lam_new = jnp.where(sy <= 0.0,
+                            jnp.full((1, ctx.T), self.lam_max, ctx.dtype),
+                            lam_bb)
+        lam[...] = jnp.where(active, lam_new, lam[...])
+
+
+class _NCGSpec(_GDSpec):
+    """Nonlinear CG (fr / pr+ / hs / dy) with restart-on-nondescent and
+    periodic restart (solvers/nonlinear_cg.py; no reference counterpart)."""
+
+    def __init__(self, method):
+        self.tol = float(method.grad_tol)
+        self.variant = method.variant
+        self.restart_every = int(method.restart_every)
+
+    def scratch(self, n, T, dtype):
+        return [((n, T), dtype),      # g_prev
+                ((n, T), dtype),      # d_prev
+                ((1, T), jnp.int32)]  # k_since_restart
+
+    def init(self, st, X, G, Fv, ctx):
+        Gp, Dp, ks = st
+        Gp[...] = G[...]
+        Dp[...] = -G[...]
+        ks[...] = jnp.zeros((1, ctx.T), jnp.int32)
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        Gp, Dp, ks = st
+        g = G
+        gp = Gp[...]
+        dp = Dp[...]
+        y = g - gp
+        gg = ctx.sum(g * g)
+        if self.variant == "fr":
+            beta = gg / ctx.sum(gp * gp)
+        elif self.variant == "pr+":
+            beta = jnp.maximum(ctx.sum(g * y) / ctx.sum(gp * gp), 0.0)
+        elif self.variant == "hs":
+            beta = ctx.sum(g * y) / ctx.sum(dp * y)
+        else:  # dy
+            beta = gg / ctx.sum(dp * y)
+        beta = jnp.where(jnp.isfinite(beta), beta, 0.0)
+
+        period = self.restart_every if self.restart_every > 0 else ctx.n
+        periodic = ks[...] >= period
+        d = -g + jnp.where(periodic, 0.0, beta) * dp
+        descent = ctx.sum(g * d) < 0.0
+        d = jnp.where(descent, d, -g)
+        restarted = periodic | ~descent
+        ks[...] = jnp.where(active & restarted, 0, ks[...])
+        return d
+
+    def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
+        Gp, Dp, ks = st
+        Gp[...] = jnp.where(active, G_old, Gp[...])
+        Dp[...] = jnp.where(active, d, Dp[...])
+        ks[...] = ks[...] + active.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Line-search specs
+# ---------------------------------------------------------------------------
+
+
+class _NoSearchSpec:
+    """Constant t = 1 (nosearch.rs:3-15)."""
+
+    def scratch(self, n, T, dtype):
+        return []
+
+    def init(self, st, Fv, ctx):
+        pass
+
+    def run(self, st, X, G, Fv, d, active, bval, max_iter_ls, ctx):
+        return jnp.ones((1, ctx.T), ctx.dtype)
+
+
+class _BTSpec:
+    """Armijo backtracking, plain (backtracking.rs:28-54) and bounded
+    (backtracking_b.rs:24-35: trial projected onto the box, modified Armijo
+    ``f - f0 <= (-c1/t)||x_t - x||^2``)."""
+
+    def __init__(self, search, bounded: bool):
+        self.c1 = float(search.c1)
+        self.beta = float(search.beta)
+        self.bounded = bounded
+
+    def scratch(self, n, T, dtype):
+        return [((1, T), dtype), ((1, T), jnp.int32)]  # t, done
+
+    def init(self, st, Fv, ctx):
+        pass
+
+    def run(self, st, X, G, Fv, d, active, bval, max_iter_ls, ctx):
+        ls_t, ls_done = st
+        f0 = Fv
+        g0d = ctx.sum(G * d)
+        ls_t[...] = jnp.ones((1, ctx.T), ctx.dtype)
+        ls_done[...] = (~active).astype(jnp.int32)
+
+        def cond(s):
+            j, n_act = s
+            return (j < max_iter_ls) & (n_act > 0)
+
+        def body(s):
+            j, _ = s
+            t = ls_t[...]
+            done = ls_done[...] > 0
+            if self.bounded:
+                x_t = ctx.clip(X + t * d)
+                f_t = bval(x_t)
+                diff = x_t - X
+                ok = (f_t - f0 <= (-self.c1 / t) * ctx.sum(diff * diff))
+            else:
+                f_t = bval(X + t * d)
+                ok = (f_t - f0 <= self.c1 * t * g0d)
+            ok = ok & jnp.isfinite(f_t)
+            keep = done | ok
+            ls_t[...] = jnp.where(keep, t, t * self.beta)
+            ls_done[...] = keep.astype(jnp.int32)
+            return (j + 1, jnp.sum((~keep).astype(jnp.int32), dtype=jnp.int32))
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+        return ls_t[...]
+
+
+class _GLLSpec:
+    """GLL non-monotone Armijo with the safeguarded quadratic-interpolation
+    trial update (gll_quadratic.rs:62-93); the f-history ring lives in
+    scratch and persists across outer iterations, as in the unfused state."""
+
+    def __init__(self, search):
+        self.c1 = float(search.c1)
+        self.m = int(search.m)
+        self.sigma1 = float(search.sigma1)
+        self.sigma2 = float(search.sigma2)
+
+    def scratch(self, n, T, dtype):
+        return [((self.m, T), dtype),   # fhist
+                ((1, T), dtype),        # t
+                ((1, T), jnp.int32)]    # done
+
+    def init(self, st, Fv, ctx):
+        fhist, _, _ = st
+        fhist[...] = jnp.full((self.m, ctx.T), -jnp.inf, ctx.dtype)
+
+    def run(self, st, X, G, Fv, d, active, bval, max_iter_ls, ctx):
+        fhist, ls_t, ls_done = st
+        # append f(x_k) to the ring (gll_quadratic.rs:62); shift-not-ring
+        for p in range(self.m - 1):
+            fhist[p] = fhist[p + 1]
+        fhist[self.m - 1] = Fv[0]
+        f_max = jnp.max(fhist[...], axis=0, keepdims=True)
+
+        f0 = Fv
+        g0d = ctx.sum(G * d)
+        ls_t[...] = jnp.ones((1, ctx.T), ctx.dtype)
+        ls_done[...] = (~active).astype(jnp.int32)
+
+        def cond(s):
+            j, n_act = s
+            return (j < max_iter_ls) & (n_act > 0)
+
+        def body(s):
+            j, _ = s
+            t = ls_t[...]
+            done = ls_done[...] > 0
+            f_t = bval(X + t * d)
+            ok = (f_t - f_max <= self.c1 * t * g0d) & jnp.isfinite(f_t)
+            # safeguarded quadratic interpolation (gll_quadratic.rs:78-93)
+            t_half = t * 0.5
+            t_tmp = -0.5 * t * t * g0d / (f_t - f0 - t * g0d)
+            t_quad = jnp.where(
+                (t_tmp > self.sigma1) & (t_tmp < self.sigma2 * t),
+                t_tmp, t_tmp * 0.5,
+            )
+            t_quad = jnp.where(jnp.isfinite(t_quad), t_quad, t_half)
+            t_next = jnp.where(t <= 0.1, t_half, t_quad)
+            keep = done | ok
+            ls_t[...] = jnp.where(keep, t, t_next)
+            ls_done[...] = keep.astype(jnp.int32)
+            return (j + 1, jnp.sum((~keep).astype(jnp.int32), dtype=jnp.int32))
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+        return ls_t[...]
+
+
+# ---------------------------------------------------------------------------
+# Spec dispatch
+# ---------------------------------------------------------------------------
+
+
+def _build_specs(method, line_search):
+    """Map public solver/search config objects to tile-level specs; returns
+    ``None`` if the combo has no fused form (caller falls back)."""
+    from optimization_solvers_tpu import linesearch as ls
+    from optimization_solvers_tpu.solvers import nonlinear_cg, steepest
+
+    mspec = None
+    if isinstance(method, steepest.SpectralProjectedGradient):
+        mspec = _SPGSpec(method)
+    elif isinstance(method, steepest.ProjectedGradientDescent):
+        mspec = _PGDSpec(method)
+    elif isinstance(method, steepest.GradientDescent):
+        mspec = _GDSpec(method)
+    elif isinstance(method, steepest.CoordinateDescent):
+        mspec = _CDSpec(method)
+    elif isinstance(method, steepest.PnormDescent):
+        if method.inverse_p is None:
+            return None
+        mspec = _PnormSpec(method)
+    elif isinstance(method, nonlinear_cg.NonlinearCG):
+        mspec = _NCGSpec(method)
+    if mspec is None:
+        return None
+
+    if isinstance(line_search, ls.BackTrackingB):
+        lspec = _BTSpec(line_search, bounded=True)
+    elif isinstance(line_search, ls.BackTracking):
+        lspec = _BTSpec(line_search, bounded=False)
+    elif isinstance(line_search, ls.GLLQuadratic):
+        lspec = _GLLSpec(line_search)
+    elif isinstance(line_search, ls.NoSearch):
+        lspec = _NoSearchSpec()
+    else:
+        return None
+    if getattr(lspec, "bounded", False) and not mspec.bounded:
+        return None  # BackTrackingB needs bounds
+    return mspec, lspec
+
+
+def fused_supported(method, line_search) -> bool:
+    """True if (method, line_search) has a fused whole-solve kernel here."""
+    return _build_specs(method, line_search) is not None
+
+
+# ---------------------------------------------------------------------------
+# Kernel skeleton + host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
+                 max_iter_ls, dtype, bounded):
+    def kernel(x0_ref, *rest):
+        i = 0
+        lo_ref = up_ref = None
+        if bounded:
+            lo_ref, up_ref = rest[0], rest[1]
+            i = 2
+        const_refs = rest[i:i + n_consts]
+        i += n_consts
+        mconst_refs = rest[i:i + n_mconsts]
+        i += n_mconsts
+        x_out, f_out, it_out, st_out = rest[i:i + 4]
+        i += 4
+        X, G, Fv, iters = rest[i:i + 4]
+        i += 4
+        n_ls = len(lspec.scratch(n, T, dtype))
+        ls_refs = list(rest[i:i + n_ls])
+        i += n_ls
+        m_refs = list(rest[i:])
+
+        cvals = [r[...] for r in const_refs]
+        f_local = (lambda x: f(x, *cvals)) if n_consts else f
+        bvg = _batched_value_and_grad(f_local)
+        bval = _batched_value(f_local)
+
+        ctx = _Ctx(n, T, dtype,
+                   lo_ref[0] if bounded else None,
+                   up_ref[0] if bounded else None,
+                   safe_reduce=(n_consts + n_mconsts) > 0)
+        ctx.method_consts = [r[...] for r in mconst_refs]
+
+        X[...] = ctx.clip(x0_ref[0]) if mspec.bounded else x0_ref[0]
+        fv, gv = bvg(X[...])
+        Fv[...] = fv
+        G[...] = gv
+        iters[...] = jnp.zeros((1, T), jnp.int32)
+        mspec.init(m_refs, X, G, Fv, ctx)
+        lspec.init(ls_refs, Fv, ctx)
+
+        def active_mask():
+            return (jnp.isfinite(Fv[...])
+                    & ~mspec.converged(m_refs, X[...], G[...], Fv[...], ctx))
+
+        def body(carry):
+            i_, _go = carry
+            active = active_mask()
+
+            d = mspec.direction(m_refs, X[...], G[...], Fv[...], active, ctx)
+            t = lspec.run(ls_refs, X[...], G[...], Fv[...], d, active, bval,
+                          max_iter_ls, ctx)
+
+            X_new = X[...] + t * d
+            if mspec.bounded:
+                # d is a box-feasible direction (projection arithmetic), so
+                # this clip is an exactness guard, not a semantic change
+                X_new = ctx.clip(X_new)
+            f_new, g_new = bvg(X_new)
+
+            X_old = X[...]
+            G_old = G[...]
+            F_old = Fv[...]
+            X[...] = jnp.where(active, X_new, X[...])
+            Fv[...] = jnp.where(active, f_new, Fv[...])
+            G[...] = jnp.where(active, g_new, G[...])
+            mspec.post_step(m_refs, active, d, t, X_old, G_old, F_old,
+                            X[...], G[...], Fv[...], ctx)
+            iters[...] = iters[...] + active.astype(jnp.int32)
+
+            go = jnp.sum(active_mask().astype(jnp.int32)) > 0
+            return (i_ + 1, go)
+
+        lax.while_loop(lambda c: (c[0] < max_iter) & c[1], body,
+                       (jnp.int32(0), jnp.asarray(True)))
+
+        finite = jnp.isfinite(Fv[...])
+        conv = mspec.converged(m_refs, X[...], G[...], Fv[...], ctx)
+        status = jnp.where(
+            conv & finite, jnp.int32(Status.CONVERGED),
+            jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
+                      jnp.int32(Status.MAX_ITER_REACHED)),
+        )
+        x_out[0] = X[...]
+        f_out[...] = Fv[...]
+        it_out[...] = iters[...]
+        st_out[...] = status
+
+    return kernel
+
+
+def _pallas_solve(f, x0, lower, upper, consts, mspec, lspec, max_iter,
+                  max_iter_ls, tile, interpret, vmem_limit_bytes):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n = x0.shape
+    dtype = x0.dtype
+    T = tile
+    bounded = mspec.bounded
+    mconsts = tuple(jnp.asarray(c, dtype) for c in mspec.const_arrays())
+
+    xT = x0.T.reshape(1, n, B)
+    inputs = [xT]
+    in_specs = [pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                             memory_space=pltpu.VMEM)]
+    if bounded:
+        loT = jnp.broadcast_to(
+            jnp.asarray(lower, dtype)[:, None], (n, T)).reshape(1, n, T)
+        upT = jnp.broadcast_to(
+            jnp.asarray(upper, dtype)[:, None], (n, T)).reshape(1, n, T)
+        inputs += [loT, upT]
+        in_specs += [
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    for c in tuple(consts) + mconsts:
+        inputs.append(c)
+        in_specs.append(
+            pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
+                         memory_space=pltpu.VMEM))
+
+    kernel = _make_kernel(
+        f, len(consts), len(mconsts), mspec, lspec, n, T, max_iter,
+        max_iter_ls, dtype, bounded,
+    )
+    scratch = [
+        pltpu.VMEM((n, T), dtype),       # X
+        pltpu.VMEM((n, T), dtype),       # G
+        pltpu.VMEM((1, T), dtype),       # Fv
+        pltpu.VMEM((1, T), jnp.int32),   # iters
+    ]
+    scratch += [pltpu.VMEM(shape, dt)
+                for shape, dt in lspec.scratch(n, T, dtype)]
+    scratch += [pltpu.VMEM(shape, dt)
+                for shape, dt in mspec.scratch(n, T, dtype)]
+
+    extra = {}
+    if vmem_limit_bytes is not None and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes)
+
+    x_out, f_out, it_out, st_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+        grid=(B // T,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **extra,
+    )(*inputs)
+    return x_out[0].T, f_out[0], it_out[0], st_out[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "line_search", "f", "max_iter", "max_iter_ls",
+                     "tile", "interpret", "vmem_limit_bytes"),
+)
+def fused_minimize(
+    method,
+    line_search,
+    f: Callable,
+    x0: jax.Array,                 # (B, n)
+    lower: jax.Array = None,       # (n,) for bounded methods
+    upper: jax.Array = None,
+    consts: tuple = (),            # problem-data arrays: f(x, *consts)
+    *,
+    max_iter: int = 1000,
+    max_iter_ls: int = 32,
+    tile: int = 256,
+    interpret: bool = False,
+    vmem_limit_bytes: int = None,
+) -> SolveResult:
+    """Batched whole-solve fused kernel for (method, line_search).
+
+    ``method`` / ``line_search`` are the SAME public config objects the
+    unfused :func:`solvers.minimize` takes (they are frozen dataclasses,
+    hence valid static args).  ``B`` is padded up to a multiple of ``tile``
+    internally.  Raises ``ValueError`` for unsupported combos — check with
+    :func:`fused_supported` first.
+    """
+    specs = _build_specs(method, line_search)
+    if specs is None:
+        raise ValueError(
+            f"no fused kernel for ({type(method).__name__}, "
+            f"{type(line_search).__name__})")
+    mspec, lspec = specs
+    if mspec.bounded and (lower is None or upper is None):
+        raise ValueError(f"{type(method).__name__} requires bounds")
+
+    B, n = x0.shape
+    pad = (-B) % tile
+    if pad:
+        x0 = jnp.concatenate([x0, jnp.broadcast_to(x0[:1], (pad, n))], axis=0)
+
+    x_fin, f_fin, it_fin, st_fin = _pallas_solve(
+        f, x0, lower, upper, tuple(consts), mspec, lspec, max_iter,
+        max_iter_ls, tile, interpret, vmem_limit_bytes,
+    )
+    if pad:
+        x_fin, f_fin = x_fin[:B], f_fin[:B]
+        it_fin, st_fin = it_fin[:B], st_fin[:B]
+    f_host = (lambda x: f(x, *consts)) if consts else f
+    _, g_fin = jax.vmap(jax.value_and_grad(f_host))(x_fin)
+    return SolveResult(x_fin, f_fin, g_fin, it_fin, st_fin)

@@ -173,6 +173,35 @@ def minimize_recorded(
     return _result(final, max_iter), xs, fs
 
 
+_FUSED_UNSUPPORTED: set = set()  # (f id, method type, search type) fallbacks
+
+
+def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
+    """Route to the generic fused whole-solve kernel when the combo has one
+    (see ops/pallas_driver.py) and the oracle exposes its raw scalar
+    objective.  Returns None when the fused path does not apply."""
+    from optimization_solvers_tpu.ops import pallas_driver
+
+    raw_f = getattr(oracle, "raw_f", None)
+    if raw_f is None or not pallas_driver.fused_supported(method, line_search):
+        return None
+    key = (id(raw_f), type(method), type(line_search))
+    if key in _FUSED_UNSUPPORTED:
+        return None
+    lower, upper = bounds if bounds is not None else (None, None)
+    try:
+        return pallas_driver.fused_minimize(
+            method, line_search, raw_f, x0, lower, upper,
+            max_iter=kwargs.get("max_iter", 1000),
+            max_iter_ls=kwargs.get("max_iter_ls", 100),
+        )
+    except ValueError:
+        # e.g. the objective closes over arrays ("captures constants") —
+        # remember and take the flexible vmapped path from now on
+        _FUSED_UNSUPPORTED.add(key)
+        return None
+
+
 def batch_minimize(
     method,
     line_search,
@@ -181,6 +210,7 @@ def batch_minimize(
     *,
     bounds: Bounds = None,
     batched_bounds: bool = False,
+    fused: str | bool = "auto",
     **kwargs,
 ) -> SolveResult:
     """``vmap`` of :func:`minimize` over a leading batch axis of ``x0``.
@@ -190,7 +220,25 @@ def batch_minimize(
     converged lanes freeze (per-lane while-loop predicates) while active
     lanes keep iterating.  Set ``batched_bounds=True`` if ``bounds`` carry a
     matching leading batch axis.
+
+    ``fused`` controls the TPU whole-solve kernel routing
+    (ops/pallas_driver.py): ``"auto"`` (default) uses the fused kernel on a
+    TPU backend when the (method, line_search) combo has one and the oracle
+    was built by :func:`make_oracle` from a closure-free scalar objective;
+    ``True`` forces it (raising for unsupported combos); ``False`` always
+    takes the flexible vmapped while-loop path.
     """
+    if fused and not batched_bounds and kwargs.get("callback") is None:
+        on_tpu = jax.default_backend() == "tpu"
+        if fused is True or on_tpu:
+            result = _try_fused_batch(
+                method, line_search, oracle, x0, bounds, kwargs)
+            if result is not None:
+                return result
+            if fused is True:
+                raise ValueError(
+                    "fused=True but no fused kernel applies (unsupported "
+                    "combo, or the oracle lacks a raw scalar objective)")
 
     def solve_one(x0_i, bounds_i):
         return minimize(method, line_search, oracle, x0_i, bounds=bounds_i, **kwargs)

@@ -1,0 +1,139 @@
+"""Generic fused whole-solve kernel (ops/pallas_driver.py): interpret-mode
+parity against the flexible vmapped driver path, combo coverage, padding,
+and dispatch plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimization_solvers_tpu import linesearch as ls, solvers
+from optimization_solvers_tpu.core.oracle import make_oracle
+from optimization_solvers_tpu.ops.pallas_driver import (
+    fused_minimize,
+    fused_supported,
+)
+
+N, B = 8, 16
+DVEC = jnp.asarray(np.linspace(1.0, 50.0, N))
+
+
+def _quad(x, d):
+    return 0.5 * jnp.sum(d * x * x)
+
+
+def _oracle():
+    return make_oracle(lambda x: _quad(x, DVEC))
+
+
+def _x0():
+    return jnp.asarray(np.random.RandomState(0).uniform(-2, 2, (B, N)))
+
+
+BOUNDS = (jnp.full(N, -1.5), jnp.full(N, 2.5))
+
+COMBOS = [
+    (solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(), False),
+    (solvers.GradientDescent(grad_tol=1e-6), ls.GLLQuadratic(), False),
+    (solvers.CoordinateDescent(grad_tol=1e-6), ls.BackTracking(), False),
+    (solvers.ProjectedGradientDescent(grad_tol=1e-6), ls.BackTrackingB(), True),
+    (solvers.SpectralProjectedGradient(grad_tol=1e-6), ls.GLLQuadratic(), True),
+    (solvers.NonlinearCG(grad_tol=1e-6, variant="pr+"), ls.BackTracking(), False),
+    (solvers.NonlinearCG(grad_tol=1e-6, variant="dy"), ls.BackTracking(), False),
+]
+
+
+@pytest.mark.parametrize(
+    "method,search,bounded", COMBOS,
+    ids=[f"{type(m).__name__}-{type(s).__name__}-{getattr(m, 'variant', '')}"
+         for m, s, _ in COMBOS],
+)
+def test_fused_matches_unfused(method, search, bounded):
+    x0 = _x0()
+    bounds = BOUNDS if bounded else None
+    r_ref = solvers.batch_minimize(
+        method, search, _oracle(), x0, bounds=bounds,
+        max_iter=3000, max_iter_ls=40, fused=False,
+    )
+    r_fus = fused_minimize(
+        method, search, _quad, x0,
+        BOUNDS[0] if bounded else None, BOUNDS[1] if bounded else None,
+        consts=(DVEC,), max_iter=3000, max_iter_ls=40, tile=16,
+        interpret=True,
+    )
+    assert bool(jnp.all(r_fus.status == 1))
+    np.testing.assert_allclose(r_fus.x, r_ref.x, atol=1e-5)
+    np.testing.assert_allclose(r_fus.f, r_ref.f, atol=1e-9)
+
+
+def test_pnorm_descent_const_input():
+    # P^{-1} rides as a method const input (an extra kernel operand)
+    method = solvers.PnormDescent(grad_tol=1e-6, inverse_p=jnp.diag(1.0 / DVEC))
+    x0 = _x0()
+    r = fused_minimize(
+        method, ls.NoSearch(), _quad, x0, consts=(DVEC,),
+        max_iter=200, tile=16, interpret=True,
+    )
+    # exact preconditioner: one step to the minimum (+1 verification pass)
+    assert bool(jnp.all(r.status == 1))
+    assert bool(jnp.all(r.iterations <= 2))
+    np.testing.assert_allclose(r.x, jnp.zeros((B, N)), atol=1e-6)
+
+
+def test_padding_to_tile():
+    # B=10 not a multiple of tile=16: padded internally, sliced back
+    x0 = _x0()[:10]
+    r = fused_minimize(
+        solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(), _quad,
+        x0, consts=(DVEC,), max_iter=3000, max_iter_ls=40, tile=16,
+        interpret=True,
+    )
+    assert r.x.shape == (10, N)
+    assert bool(jnp.all(r.status == 1))
+
+
+def test_fused_supported_combos():
+    assert fused_supported(solvers.GradientDescent(), ls.BackTracking())
+    assert fused_supported(solvers.NonlinearCG(), ls.GLLQuadratic())
+    # MoreThuente has no fused form
+    assert not fused_supported(solvers.GradientDescent(), ls.MoreThuente())
+    # BackTrackingB needs a bounded method
+    assert not fused_supported(solvers.GradientDescent(), ls.BackTrackingB())
+    # dense QN rides its own kernel (pallas_bfgs), not this one
+    assert not fused_supported(solvers.BFGS(), ls.BackTracking())
+
+
+def test_unsupported_combo_raises():
+    with pytest.raises(ValueError):
+        fused_minimize(
+            solvers.GradientDescent(), ls.MoreThuente(), _quad, _x0(),
+            consts=(DVEC,), interpret=True,
+        )
+
+
+def test_auto_dispatch_falls_back_on_cpu():
+    # on the CPU backend, fused="auto" must take the flexible path and
+    # still produce correct results
+    r = solvers.batch_minimize(
+        solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(),
+        _oracle(), _x0(), max_iter=3000, max_iter_ls=40,
+    )
+    assert bool(jnp.all(r.status == 1))
+
+
+def test_out_of_domain_status():
+    def f_dom(x, d):
+        # log of a coordinate: negative trial values leave the domain
+        return 0.5 * jnp.sum(d * x * x) - 0.0 * jnp.log(x[0])
+
+    # start far into the quadratic bowl; plain quadratic stays in domain --
+    # force NaN by an objective that is NaN everywhere after the first step
+    def f_nan(x, d):
+        return jnp.where(jnp.sum(x * x) < 1e6, jnp.nan, 0.0)
+
+    r = fused_minimize(
+        solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(), f_nan,
+        _x0(), consts=(DVEC,), max_iter=5, max_iter_ls=4, tile=16,
+        interpret=True,
+    )
+    assert bool(jnp.all(r.status == 3))  # OUT_OF_DOMAIN
