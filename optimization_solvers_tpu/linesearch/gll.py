@@ -66,6 +66,13 @@ class GLLQuadratic(LineSearch):
                 (t_tmp > sigma1) & (t_tmp < sigma2 * t), t_tmp, t_tmp * 0.5
             )
             t_next = jnp.where(accept, t, jnp.where(t <= 0.1, t_half, t_quad))
+            # lockup guard beyond the reference: the rejected-interpolant
+            # halving above (gll_quadratic.rs:90-92) yields t_tmp*0.5 = -0
+            # when f_t overflows (f32), freezing t at 0 forever (a zero step
+            # always passes the non-monotone Armijo).  A nonpositive or
+            # non-finite trial falls back to bisection.
+            t_next = jnp.where(
+                jnp.isfinite(t_next) & (t_next > 0.0), t_next, t_half)
             return (t_next, i + 1, accept)
 
         t, _, _ = lax.while_loop(

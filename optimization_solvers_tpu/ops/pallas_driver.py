@@ -11,10 +11,13 @@ general middle ground: tile-level "method specs" and "search specs" plug
 into one shared kernel skeleton, so every first-order method × Armijo-family
 search combo gets fused-kernel speed without a bespoke kernel.
 
-Supported methods (reference files in ``src/steepest_descent/``):
+Supported methods (reference files in ``src/steepest_descent/`` and
+``src/quasi_newton/``):
   GradientDescent, CoordinateDescent (Gauss-Southwell), PnormDescent,
   ProjectedGradientDescent, SpectralProjectedGradient, NonlinearCG
-  (fr/pr+/hs/dy — no reference counterpart).
+  (fr/pr+/hs/dy — no reference counterpart), and the dense quasi-Newton
+  family BFGS/DFP/Broyden (+ bounded twins and SR1B) with their (n, n, T)
+  inverse-Hessian slabs resident in VMEM.
 Supported searches (``src/line_search/``): BackTracking, BackTrackingB,
   GLLQuadratic (with the safeguarded quadratic interpolation trial update,
   ``gll_quadratic.rs:78-93``), NoSearch.
@@ -92,6 +95,23 @@ class _Ctx:
 
     def clip(self, v):
         return jnp.clip(v, self.lo, self.up)
+
+    # (rb, n, T) -> (rb, 1, T) halving-tree reduction over the middle axis,
+    # for row-chunked matvecs against an (n, n, T) VMEM slab.  Same
+    # replicated-layout-accumulator workaround as sum()/max() above.
+    def sum_mid(self, v):
+        if not self._safe:
+            return jnp.sum(v, axis=1, keepdims=True)
+        while v.shape[1] > 1:
+            k = v.shape[1]
+            half = k // 2
+            head = v[:, :half] + v[:, half:2 * half]
+            if k % 2:
+                first = lax.broadcasted_iota(
+                    jnp.int32, head.shape, 1) == 0
+                head = head + jnp.where(first, v[:, -1:], 0.0)
+            v = head
+        return v
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +286,210 @@ class _NCGSpec(_GDSpec):
         ks[...] = ks[...] + active.astype(jnp.int32)
 
 
+class _QNSpec:
+    """Dense quasi-Newton (bfgs / dfp / broyden / sr1): the lane-sliced
+    (n, n, T) approximate inverse Hessian lives in VMEM; direction matvec
+    and rank-1/rank-2 update are row-chunked slab traversals (same chunking
+    pattern as ops/pallas_bfgs.py).  Mirrors solvers/quasi_newton.py
+    semantics (reference ``src/quasi_newton/bfgs.rs:42-49,114-124`` and
+    siblings), including the opt-in ``scale_b0`` / ``restart_on_degeneracy``
+    robustness knobs.
+
+    Deviation from the reference (shared with ops/pallas_bfgs.py): the
+    update is skipped when the curvature s.y is non-positive — the
+    reference applies it anyway and lets B go indefinite
+    (``bfgs.rs:114-124``); in lockstep f32 batches that poisons lanes.
+    """
+
+    bounded = False
+    row_block = 16
+
+    def __init__(self, method):
+        self.tol = float(method.tol)
+        self.update = method.update
+        self.scale_b0 = bool(method.scale_b0)
+        self.restart = bool(method.restart_on_degeneracy)
+
+    def scratch(self, n, T, dtype):
+        return [((n, n, T), dtype),  # B (approx inverse Hessian, lane-last)
+                ((1, T), dtype),     # s_norm
+                ((1, T), dtype)]     # y_norm
+
+    def const_arrays(self):
+        return ()
+
+    def preferred_tile(self, n, tile):
+        return min(tile, 128)
+
+    def vmem_limit(self, n, T, requested):
+        if requested is not None:
+            return requested
+        slab = n * n * T * 4
+        if slab * 3 > 120 * 2 ** 20:
+            raise ValueError(
+                f"dense QN slab (n={n}, tile={T}) exceeds VMEM; use the "
+                "limited-memory kernels for large n")
+        if slab * 3 > 16 * 2 ** 20:   # beyond the compiler's default guard
+            return min(max(32 * 2 ** 20, slab * 3), 120 * 2 ** 20)
+        return None
+
+    # -- slab helpers -------------------------------------------------------
+    def _eye_chunk(self, r0, rb, ctx):
+        rows = lax.broadcasted_iota(jnp.int32, (rb, ctx.n), 0) + r0
+        cols = lax.broadcasted_iota(jnp.int32, (rb, ctx.n), 1)
+        return (rows == cols).astype(ctx.dtype)[:, :, None]
+
+    def _matvec(self, Bref, v, ctx):
+        """B @ v -> (n, T), row-chunked over the slab."""
+        rows = []
+        for r0 in range(0, ctx.n, self.row_block):
+            rb = min(self.row_block, ctx.n - r0)
+            prod = Bref[r0:r0 + rb] * v[None, :, :]
+            rows.append(ctx.sum_mid(prod)[:, 0, :])
+        return jnp.concatenate(rows, axis=0)
+
+    def _rmatvec(self, Bref, v, ctx):
+        """B^T @ v -> (n, T) (needed by the unsymmetric Broyden update)."""
+        acc = jnp.zeros((ctx.n, ctx.T), ctx.dtype)
+        for r0 in range(0, ctx.n, self.row_block):
+            rb = min(self.row_block, ctx.n - r0)
+            prod = Bref[r0:r0 + rb] * v[r0:r0 + rb][:, None, :]
+            part = prod[0]
+            for r in range(1, rb):
+                part = part + prod[r]
+            acc = acc + part
+        return acc
+
+    # -- driver hooks -------------------------------------------------------
+    def init(self, st, X, G, Fv, ctx):
+        B, sn, yn = st
+        for r0 in range(0, ctx.n, self.row_block):
+            rb = min(self.row_block, ctx.n - r0)
+            B[r0:r0 + rb] = jnp.broadcast_to(
+                self._eye_chunk(r0, rb, ctx), (rb, ctx.n, ctx.T))
+        sn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
+        yn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
+
+    def converged(self, st, X, G, Fv, ctx):
+        B, sn, yn = st
+        gn = jnp.sqrt(ctx.sum(G * G))
+        g_small = gn < self.tol
+        if self.restart:
+            return g_small
+        return g_small | (sn[...] < self.tol) | (yn[...] < self.tol)
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        d = -self._matvec(st[0], G, ctx)
+        if self.restart:
+            # descent safeguard: f32 noise can leave B indefinite even with
+            # curvature-gated updates; a non-descent direction would make
+            # the Armijo tests accept uphill steps (catastrophic under the
+            # non-monotone GLL window) — fall back to steepest descent
+            d = jnp.where(ctx.sum(G * d) < 0.0, d, -G)
+        return d
+
+    def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
+        B, sn, yn = st
+        eps = 1.2e-7 if ctx.dtype == jnp.float32 else 2.3e-16
+        s = X - X_old
+        y = G - G_old
+        sy = ctx.sum(s * y)
+        s_norm = jnp.sqrt(ctx.sum(s * s))
+        y_norm = jnp.sqrt(ctx.sum(y * y))
+        curv_ok = sy > eps * s_norm * y_norm
+
+        first = ~jnp.isfinite(sn[...])
+        if self.scale_b0:
+            gamma = jnp.where(curv_ok, sy / ctx.sum(y * y), 1.0)
+            scale_cond = first & curv_ok
+        else:
+            gamma = jnp.ones((1, ctx.T), ctx.dtype)
+            scale_cond = jnp.zeros((1, ctx.T), bool)
+
+        By = self._matvec(B, y, ctx)
+        # at the first update B == I, so the scaled base gives By = gamma*y
+        By = jnp.where(scale_cond, gamma * y, By)
+
+        sf = s[None, :, :]
+        Byf = By[None, :, :]
+
+        if self.update == "bfgs":
+            yBy = ctx.sum(y * By)
+            rho = 1.0 / sy
+            coeff = rho * rho * yBy + rho
+            ok = curv_ok
+
+            def chunk_update(Bc, r0, rb):
+                s_r = s[r0:r0 + rb][:, None, :]
+                By_r = By[r0:r0 + rb][:, None, :]
+                return (Bc - rho[None] * (s_r * Byf + By_r * sf)
+                        + coeff[None] * (s_r * sf))
+        elif self.update == "dfp":
+            yBy = ctx.sum(y * By)
+            ok = curv_ok & (yBy > eps * y_norm * y_norm)
+
+            def chunk_update(Bc, r0, rb):
+                s_r = s[r0:r0 + rb][:, None, :]
+                By_r = By[r0:r0 + rb][:, None, :]
+                return Bc + (s_r * sf) / sy[None] - (By_r * Byf) / yBy[None]
+        elif self.update == "broyden":
+            Bts = self._rmatvec(B, s, ctx)
+            Bts = jnp.where(scale_cond, gamma * s, Bts)
+            Btsf = Bts[None, :, :]
+            ok = jnp.abs(sy) > eps * s_norm * y_norm
+
+            def chunk_update(Bc, r0, rb):
+                s_r = s[r0:r0 + rb][:, None, :]
+                By_r = By[r0:r0 + rb][:, None, :]
+                return Bc + ((s_r - By_r) * Btsf) / sy[None]
+        else:  # sr1
+            shy = s - By
+            denom = ctx.sum(shy * y)
+            shy_norm = jnp.sqrt(ctx.sum(shy * shy))
+            shyf = shy[None, :, :]
+            ok = jnp.abs(denom) > eps * shy_norm * y_norm
+
+            def chunk_update(Bc, r0, rb):
+                shy_r = shy[r0:r0 + rb][:, None, :]
+                return Bc + (shy_r * shyf) / denom[None]
+
+        not_tiny = (s_norm >= self.tol) & (y_norm >= self.tol)
+        ok = ok & not_tiny & jnp.isfinite(sy)
+        upd = active & ok
+        # restart mode: a degenerate pair on an active lane resets B to I
+        reset = active & ~ok if self.restart else jnp.zeros((1, ctx.T), bool)
+
+        for r0 in range(0, ctx.n, self.row_block):
+            rb = min(self.row_block, ctx.n - r0)
+            eye_c = self._eye_chunk(r0, rb, ctx)
+            Bc = B[r0:r0 + rb]
+            if self.scale_b0:
+                Bc = jnp.where(scale_cond[None], gamma[None] * eye_c, Bc)
+            new_c = chunk_update(Bc, r0, rb)
+            out = jnp.where(upd[None], new_c, Bc)
+            if self.restart:
+                out = jnp.where(
+                    reset[None], jnp.broadcast_to(eye_c, out.shape), out)
+            B[r0:r0 + rb] = out
+
+        sn[...] = jnp.where(active, s_norm, sn[...])
+        yn[...] = jnp.where(active, y_norm, yn[...])
+
+
+class _QNBSpec(_QNSpec):
+    """Box-constrained dense QN: ``d = P_box(x - B g) - x``
+    (``bfgs_b.rs:66-77``); convergence still tests the RAW gradient 2-norm,
+    exactly like the reference (``bfgs_b.rs:92-104``)."""
+
+    bounded = True
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        d = ctx.clip(X - self._matvec(st[0], G, ctx)) - X
+        if self.restart:
+            d = jnp.where(ctx.sum(G * d) < 0.0, d, ctx.clip(X - G) - X)
+        return d
+
+
 # ---------------------------------------------------------------------------
 # Line-search specs
 # ---------------------------------------------------------------------------
@@ -376,13 +600,16 @@ class _GLLSpec:
             done = ls_done[...] > 0
             f_t = bval(X + t * d)
             ok = (f_t - f_max <= self.c1 * t * g0d) & jnp.isfinite(f_t)
-            # safeguarded quadratic interpolation (gll_quadratic.rs:78-93)
+            # quadratic interpolation trial with the RELATIVE safeguard
+            # window sigma1*t <= t_new <= sigma2*t (Grippo-Lampariello-
+            # Lucidi 1986 standard).  Documented deviation: the reference
+            # uses an ABSOLUTE lower window (t_tmp > 0.1) and halves the
+            # rejected interpolant (gll_quadratic.rs:85-92), which in f32
+            # collapses t below step resolution when f_t is huge/overflowed
+            # (t_tmp ~ +-0) and stalls the whole lane forever.
             t_half = t * 0.5
             t_tmp = -0.5 * t * t * g0d / (f_t - f0 - t * g0d)
-            t_quad = jnp.where(
-                (t_tmp > self.sigma1) & (t_tmp < self.sigma2 * t),
-                t_tmp, t_tmp * 0.5,
-            )
+            t_quad = jnp.clip(t_tmp, self.sigma1 * t, self.sigma2 * t)
             t_quad = jnp.where(jnp.isfinite(t_quad), t_quad, t_half)
             t_next = jnp.where(t <= 0.1, t_half, t_quad)
             keep = done | ok
@@ -403,9 +630,14 @@ def _build_specs(method, line_search):
     """Map public solver/search config objects to tile-level specs; returns
     ``None`` if the combo has no fused form (caller falls back)."""
     from optimization_solvers_tpu import linesearch as ls
-    from optimization_solvers_tpu.solvers import nonlinear_cg, steepest
+    from optimization_solvers_tpu.solvers import (
+        nonlinear_cg, quasi_newton, steepest)
 
     mspec = None
+    if isinstance(method, quasi_newton.QuasiNewtonB):
+        mspec = _QNBSpec(method)
+    elif isinstance(method, quasi_newton.QuasiNewton):
+        mspec = _QNSpec(method)
     if isinstance(method, steepest.SpectralProjectedGradient):
         mspec = _SPGSpec(method)
     elif isinstance(method, steepest.ProjectedGradientDescent):
@@ -653,6 +885,10 @@ def fused_minimize(
         raise ValueError(f"{type(method).__name__} requires bounds")
 
     B, n = x0.shape
+    if hasattr(mspec, "preferred_tile"):
+        tile = mspec.preferred_tile(n, tile)
+    if hasattr(mspec, "vmem_limit"):
+        vmem_limit_bytes = mspec.vmem_limit(n, tile, vmem_limit_bytes)
     pad = (-B) % tile
     if pad:
         x0 = jnp.concatenate([x0, jnp.broadcast_to(x0[:1], (pad, n))], axis=0)

@@ -88,6 +88,25 @@ class _QuasiNewtonCommon:
     # fused=True runs the rank-1/rank-2 update and the next direction matvec
     # in one pass over B (the Pallas kernel on TPU, its XLA twin elsewhere)
     fused: bool = False
+    # Robustness knobs beyond the reference (default off = exact
+    # reference semantics, bfgs.rs:104-124):
+    #  * scale_b0: before the FIRST update, rescale B0 = (s.y/y.y) I
+    #    (Nocedal-Wright eq. 6.20) so the initial inverse-Hessian guess
+    #    matches the problem's curvature scale;
+    #  * restart_on_degeneracy: on a degenerate/indefinite correction pair
+    #    (s.y <= 0, tiny s/y, or a non-finite update) reset B to the scaled
+    #    identity and keep iterating instead of freezing B — and drop the
+    #    s/y-too-close early *convergence* exit, so a stalled line search
+    #    restarts as steepest descent rather than reporting success.
+    scale_b0: bool = False
+    restart_on_degeneracy: bool = False
+
+    def __post_init__(self):
+        if self.fused and (self.scale_b0 or self.restart_on_degeneracy):
+            raise ValueError(
+                "fused per-iteration QN mode does not implement "
+                "scale_b0/restart_on_degeneracy; use the whole-solve fused "
+                "kernel (ops.fused_minimize) or fused=False")
 
     def init(self, x, ev, bounds: Bounds):
         n = x.shape[-1]
@@ -99,8 +118,11 @@ class _QuasiNewtonCommon:
         # s/y-too-close early exits, then the 2-norm gradient test
         # (bfgs.rs:64-76 — note: 2-norm here, unlike the infinity norm of
         # the steepest-descent family)
+        g_small = jnp.linalg.norm(ev.g) < self.tol
+        if self.restart_on_degeneracy:
+            return g_small
         too_close = (mstate.s_norm < self.tol) | (mstate.y_norm < self.tol)
-        return too_close | (jnp.linalg.norm(ev.g) < self.tol)
+        return too_close | g_small
 
     def post_step(self, mstate: _QNState, x, ev, d, t, x_new, ev_new, bounds):
         s = x_new - x
@@ -110,6 +132,9 @@ class _QuasiNewtonCommon:
         # freeze B when the correction pair is degenerate (bfgs.rs:104-112);
         # also guards non-finite updates from poisoning a frozen lane
         skip = (s_norm < self.tol) | (y_norm < self.tol)
+        if self.scale_b0 or self.restart_on_degeneracy:
+            return self._robust_post_step(
+                mstate, s, y, s_norm, y_norm, skip)
         if self.fused:
             from optimization_solvers_tpu.ops.pallas_qn import (
                 qn_update_direction_pallas,
@@ -130,6 +155,27 @@ class _QuasiNewtonCommon:
             Bg = mstate.Bg  # recomputed lazily in direction()
         return _QNState(B_new, s_norm, y_norm, Bg)
 
+    def _robust_post_step(self, mstate, s, y, s_norm, y_norm, skip):
+        """scale_b0 / restart_on_degeneracy variants (see field docs)."""
+        n = s.shape[-1]
+        eye = jnp.eye(n, dtype=s.dtype)
+        sy = vdot(s, y)
+        curvature_ok = sy > jnp.finfo(s.dtype).eps * s_norm * y_norm
+        B_cur = mstate.B
+        if self.scale_b0:
+            first = ~jnp.isfinite(mstate.s_norm)
+            gamma = jnp.where(curvature_ok, sy / vdot(y, y), 1.0)
+            B_cur = jnp.where(first & curvature_ok, gamma * eye, B_cur)
+        B_new = _UPDATES[self.update](B_cur, s, y, sy)
+        ok = curvature_ok & jnp.all(jnp.isfinite(B_new)) & ~skip
+        if self.restart_on_degeneracy:
+            # degenerate pair: restart from the (scaled) identity and keep
+            # going — the next direction is steepest descent
+            B_next = jnp.where(ok, B_new, eye)
+        else:
+            B_next = jnp.where(ok, B_new, B_cur)
+        return _QNState(B_next, s_norm, y_norm, mstate.Bg)
+
 
 @dataclasses.dataclass(frozen=True)
 class QuasiNewton(_QuasiNewtonCommon, Method):
@@ -137,7 +183,11 @@ class QuasiNewton(_QuasiNewtonCommon, Method):
 
     def direction(self, mstate: _QNState, x, ev, bounds: Bounds):
         Bg = mstate.Bg if self.fused else matvec(mstate.B, ev.g)
-        return -Bg, mstate
+        d = -Bg
+        if self.restart_on_degeneracy:
+            # descent safeguard (see ops/pallas_driver._QNSpec.direction)
+            d = jnp.where(vdot(ev.g, d) < 0.0, d, -ev.g)
+        return d, mstate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,7 +199,11 @@ class QuasiNewtonB(_QuasiNewtonCommon, BoundedMethod):
 
     def direction(self, mstate: _QNState, x, ev, bounds: Bounds):
         Bg = mstate.Bg if self.fused else matvec(mstate.B, ev.g)
-        return box_projection(x - Bg, *bounds) - x, mstate
+        d = box_projection(x - Bg, *bounds) - x
+        if self.restart_on_degeneracy:
+            d = jnp.where(vdot(ev.g, d) < 0.0, d,
+                          box_projection(x - ev.g, *bounds) - x)
+        return d, mstate
 
 
 def BFGS(tol: float = 1e-8) -> QuasiNewton:
