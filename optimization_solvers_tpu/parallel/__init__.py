@@ -3,6 +3,8 @@ single-process reference lacks (SURVEY.md §2.5)."""
 
 from optimization_solvers_tpu.parallel.mesh import batch_sharding, make_mesh
 from optimization_solvers_tpu.parallel.sharded import (
+    coordinate_sharded_lbfgsb_minimize,
+    coordinate_sharded_minimize,
     scaling_report,
     sharded_batch_minimize,
     sharded_lbfgsb_minimize,
@@ -16,6 +18,8 @@ __all__ = [
     "sharded_batch_minimize",
     "sharded_lbfgsb_minimize",
     "sharded_lbfgsb_solve_fused",
+    "coordinate_sharded_minimize",
+    "coordinate_sharded_lbfgsb_minimize",
     "sharded_summary",
     "scaling_report",
 ]
