@@ -285,6 +285,9 @@ class Lbfgsb:
             pgtol=self.pgtol,
             rel_pg_stop=(self.max_iter == 0),
             max_iter=self.max_iter if self.max_iter > 0 else 10_000,
+            # iprint >= 1 -> per-iteration tracing events, like the
+            # Fortran's iteration printing (lbfgsb.rs:146-148)
+            verbose=self.iprint,
         )
         lo = jnp.asarray(self.l, x0.dtype)
         up = jnp.asarray(self.u, x0.dtype)

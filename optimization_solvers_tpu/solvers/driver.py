@@ -56,8 +56,24 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
     domain + convergence predicate (without the iteration budget);
     ``step_fn(carry) -> carry`` performs one full solver iteration
     (direction -> line search -> iterate update -> state refresh).
+
+    Per-iteration observability (reference ``ls_solver.rs:82-109``): when
+    ``OST_LOG=debug`` (or the package logger is configured at DEBUG) and no
+    explicit ``callback`` is given, every iteration emits a
+    ``k / f / ||g|| / t`` event through the tracing stack via
+    ``jax.debug.callback``, targeted per solver component.  The check
+    happens at trace time, so tracing is zero-cost when off.
     """
     oracle = ensure_oracle(oracle)
+
+    trace_cb = None
+    if callback is None:
+        from optimization_solvers_tpu.utils import telemetry
+
+        if telemetry.debug_enabled():
+            trace_cb = telemetry.iteration_tracer(
+                f"solver.{type(method).__name__}."
+                f"{type(line_search).__name__}")
 
     def init_fn(x0: jax.Array) -> SolverCarry:
         x0 = method.prepare_x0(x0, bounds)
@@ -82,6 +98,11 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
         mstate = method.post_step(mstate, c.x, c.ev, d, t, x_new, ev_new, bounds)
         if callback is not None:
             jax.debug.callback(callback, c.k, x_new, ev_new.f)
+        elif trace_cb is not None:
+            from optimization_solvers_tpu.core.numerics import infinity_norm
+
+            jax.debug.callback(
+                trace_cb, c.k + 1, ev_new.f, infinity_norm(ev_new.g), t)
         return SolverCarry(x_new, ev_new, c.k + 1, mstate, ls_state)
 
     return init_fn, keep_going_fn, step_fn

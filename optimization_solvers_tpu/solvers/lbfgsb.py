@@ -94,6 +94,11 @@ class LbfgsbConfig:
     ls_c1: float = 1e-3         # Fortran dcsrch ftol
     ls_c2: float = 0.9          # Fortran dcsrch gtol
     curvature_eps: float = 2.2e-16
+    # Fortran ``iprint`` analogue (lbfgsb.rs:146-148, wired through
+    # ``api.Lbfgsb.set_verbosity``): >= 1 emits one k/f/||pg||/t tracing
+    # event per outer iteration via jax.debug.callback; < 1 additionally
+    # defers to OST_LOG=debug (utils.telemetry.debug_enabled)
+    verbose: int = -1
 
 
 def _projected_gradient_norm(x, g, lower, upper):
@@ -322,6 +327,16 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
     # batched equivalent, with the max feasible step to the boundary as stpmx
     ls = StrongWolfe(c1=cfg.ls_c1, c2=cfg.ls_c2, bounded=True)
 
+    from optimization_solvers_tpu.utils import telemetry
+
+    trace_cb = None
+    if cfg.verbose >= 1:
+        import logging
+
+        trace_cb = telemetry.iteration_tracer("solver.Lbfgsb", logging.INFO)
+    elif telemetry.debug_enabled():
+        trace_cb = telemetry.iteration_tracer("solver.Lbfgsb")
+
     def init_fn(x0: jax.Array) -> _Carry:
         dtype = x0.dtype
         n = x0.shape[-1]
@@ -401,6 +416,10 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
             valid=jnp.where(accept, valid, hist.valid),
             theta=jnp.where(accept, theta, hist.theta),
         )
+        if trace_cb is not None:
+            jax.debug.callback(
+                trace_cb, c.k + 1, ev_new.f,
+                _projected_gradient_norm(x_new, ev_new.g, lower, upper), t)
         return _Carry(x_new, ev_new.f, ev_new.g, hist, c.f, c.k + 1)
 
     return init_fn, keep_going_fn, step_fn

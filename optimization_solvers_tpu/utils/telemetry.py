@@ -120,6 +120,63 @@ def get_logger(target: str = "") -> logging.Logger:
     return logging.getLogger(name)
 
 
+def debug_enabled() -> bool:
+    """True when per-iteration solver tracing should be emitted: the
+    ``OST_LOG`` env var says ``debug``/``trace`` (analogue of running the
+    reference with ``RUST_LOG=debug``, ``ls_solver.rs:82-109``), or the
+    package logger was configured at DEBUG level.  Checked at *trace time*
+    by the drivers, so tracing is exactly zero-cost when off (no callback
+    is ever staged into the compiled program)."""
+    name = os.environ.get("OST_LOG", "").upper()
+    if name in ("DEBUG", "TRACE"):
+        return True
+    logger = logging.getLogger(LOGGER_NAME)
+    return logger.getEffectiveLevel() <= logging.DEBUG and bool(
+        logger.handlers)
+
+
+def _ensure_default_handler() -> None:
+    # OST_LOG=debug alone must produce visible output (the reference's
+    # RUST_LOG-style UX); lazily install a stdout layer if none configured
+    logger = logging.getLogger(LOGGER_NAME)
+    if not logger.handlers:
+        Tracer().with_stdout_layer(LogFormat.NORMAL).build()
+
+
+def iteration_tracer(target: str, level: int = logging.DEBUG):
+    """Host-side per-iteration event sink for the solver drivers: logs
+    ``k / f / ||g|| / t`` with a per-component target (the reference's
+    per-solver ``tracing`` targets, e.g. ``ls_solver.rs:82-109``,
+    ``spg.rs:124-137``).  ``level`` defaults to DEBUG (the OST_LOG=debug
+    path); explicit verbosity requests (``Lbfgsb.set_verbosity``) pass
+    INFO so events show under the default level.  Handles both scalar
+    (single-solve) and batched (vmapped) payloads — per-lane host logging
+    of a lockstep batch would serialize the device loop, so batches log
+    aggregate statistics."""
+    import numpy as np
+
+    _ensure_default_handler()
+    logger = get_logger(target)
+
+    def cb(k, f, gnorm, t):
+        k_ = np.asarray(k)
+        f_ = np.asarray(f)
+        g_ = np.asarray(gnorm)
+        t_ = np.asarray(t)
+        if k_.size == 1:
+            logger.log(
+                level, "k=%-5d f=%.8e ||g||=%.3e t=%.3e",
+                int(k_.reshape(())), float(f_.reshape(())),
+                float(g_.reshape(())), float(t_.reshape(())))
+        else:
+            logger.log(
+                level, "k<=%-5d batch=%d f_p50=%.8e ||g||_max=%.3e t_p50=%.3e",
+                int(k_.max()), k_.size, float(np.median(f_)),
+                float(g_.max()), float(np.median(t_)))
+
+    return cb
+
+
 def log_progress(every: int = 1, target: str = "solver"):
     """A ready-made per-iteration ``callback`` for
     :func:`optimization_solvers_tpu.solvers.minimize`: logs ``k`` and ``f``
