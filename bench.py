@@ -139,7 +139,324 @@ def bench_cpu_baseline(samples: int = 32) -> float:
     return samples / (time.perf_counter() - t0)
 
 
+# ---------------------------------------------------------------------------
+# BASELINE.json configs 1-5: one-command reproducible runs (--config N), each
+# emitting one JSON line.  Every config goes through the GENERAL API
+# (solvers.minimize / batch_minimize with fused="auto") so the number
+# measures what a user of the reference-shaped API actually gets, not a
+# hand-picked kernel.  The default (no --config) stays the headline fused
+# L-BFGS-B run above.
+# ---------------------------------------------------------------------------
+
+# BENCH_SCALE=k divides batch sizes by k (CPU smoke runs of the config set)
+SCALE = max(1, int(os.environ.get("BENCH_SCALE", 1)))
+
+
+def _fence(r):
+    """Device->host readback of the result — the only reliable execution
+    fence through the serving tunnel."""
+    return float(np.asarray(r.f).sum())
+
+
+def _timed(solve, inputs):
+    """Median wall time of ``solve`` over distinct pre-staged inputs
+    (distinct: the tunnel memoizes repeat dispatches of identical args)."""
+    times = []
+    r = None
+    for x in inputs:
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        r = solve(x)
+        _fence(r)
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), r
+
+
+def bench_config1():
+    """GD + backtracking on the 100-D convex quadratic (examples/quadratic.rs
+    geometry generalized), K sequential single-instance solves through the
+    general API — the reference's own execution model, CPU-runnable."""
+    from optimization_solvers_tpu import linesearch as ls, solvers
+    from optimization_solvers_tpu.solvers.driver import make_solver
+
+    n, K = 100, max(4, 64 // SCALE)
+    d = jnp.asarray(np.linspace(1.0, 100.0, n), DTYPE)
+    oracle = make_oracle(problems.diag_quadratic(d))
+    solve = make_solver(
+        solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(), oracle,
+        max_iter=3000)
+    rng = np.random.RandomState(0)
+    xs = [jnp.asarray(rng.uniform(-5, 5, n), DTYPE) for _ in range(K + 1)]
+    _fence(solve(xs[0]))  # compile
+    t0 = time.perf_counter()
+    fs, sts = [], []
+    for x in xs[1:]:
+        r = solve(x)
+        fs.append(_fence(r))
+        sts.append(int(r.status))
+    dt = time.perf_counter() - t0
+
+    # single-core numpy twin of the same algorithm (reference execution model)
+    d_np = np.asarray(d, np.float64)
+
+    def np_solve(x):
+        for _ in range(3000):
+            g = d_np * x
+            if np.sqrt((g * g).sum()) < 1e-6:
+                return
+            f0, gd = 0.5 * (x * g).sum(), -(g * g).sum()
+            t = 1.0
+            for _ in range(40):
+                xt = x - t * g
+                if 0.5 * (d_np * xt * xt).sum() <= f0 + 1e-4 * t * gd:
+                    break
+                t *= 0.5
+            x = x - t * g
+
+    xs_np = [rng.uniform(-5, 5, n) for _ in range(16)]
+    t1 = time.perf_counter()
+    for x in xs_np:
+        np_solve(x)
+    cpu = 16 / (time.perf_counter() - t1)
+    return {
+        "metric": "config1_gd_backtracking_quadratic100_sequential",
+        "value": round(K / dt, 2), "unit": "solves/s",
+        "vs_baseline": round(K / dt / cpu, 2),
+        "baseline_cpu_solves_per_sec": round(cpu, 2),
+        "converged_fraction": float(np.mean(np.asarray(sts) == 1)),
+        "median_final_f": float(np.median(fs)),
+        "path": "general_api_minimize",
+    }
+
+
+def bench_config2():
+    """Dense BFGS on Rosenbrock-100, 1k random starts, through the general
+    API (fused='auto' routes to the generic whole-solve kernel on TPU) with
+    the robustness knobs on.  Reports the strict-tolerance converged
+    fraction (VERDICT round-1 item 3: target >=95% at stationary points)."""
+    from optimization_solvers_tpu import linesearch as ls, solvers
+
+    B, n = 1024 // SCALE, 100
+    oracle = make_oracle(problems.rosenbrock())
+    method = solvers.QuasiNewton(
+        tol=2e-4, update="bfgs", scale_b0=True, restart_on_degeneracy=True)
+
+    def solve(x):
+        return solvers.batch_minimize(
+            method, ls.BackTracking(), oracle, x,
+            max_iter=1500, max_iter_ls=40)
+
+    rng = np.random.RandomState(42)
+    inputs = [jnp.asarray(rng.uniform(-2, 2, (B, n)), DTYPE)
+              for _ in range(REPEATS + 1)]
+    _fence(solve(inputs[0]))  # compile
+    dt, r = _timed(solve, inputs[1:])
+
+    f_vals = np.asarray(r.f)
+    # stationary = the global minimum or Rosenbrock's local min near x0=-1
+    stationary = (f_vals < 1e-6) | (np.abs(f_vals - 3.9866) < 1e-2)
+    cpu = _scipy_rosen_bfgs_baseline(n)
+    sps = B / dt
+    return {
+        "metric": "config2_bfgs_rosenbrock100_batch1k",
+        "value": round(sps, 2), "unit": "solves/s",
+        "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
+        "baseline_cpu_solves_per_sec": round(cpu, 2),
+        "converged_fraction": float((np.asarray(r.status) == 1).mean()),
+        "stationary_fraction": float(stationary.mean()),
+        "median_final_f": float(np.median(f_vals)),
+        "path": "general_api_fused_auto",
+    }
+
+
+def _scipy_rosen_bfgs_baseline(n, samples=8):
+    try:
+        from scipy.optimize import minimize as sp_minimize
+    except ImportError:
+        return float("nan")
+
+    def f_np(x):
+        return float(np.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                            + (1.0 - x[:-1]) ** 2))
+
+    def g_np(x):
+        g = np.zeros_like(x)
+        g[:-1] = -400.0 * x[:-1] * (x[1:] - x[:-1] ** 2) - 2.0 * (1.0 - x[:-1])
+        g[1:] += 200.0 * (x[1:] - x[:-1] ** 2)
+        return g
+
+    rng = np.random.RandomState(42)
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        sp_minimize(f_np, rng.uniform(-2, 2, n), jac=g_np, method="BFGS",
+                    options={"gtol": 2e-4, "maxiter": 1500})
+    return samples / (time.perf_counter() - t0)
+
+
+def bench_config3():
+    """SPG + GLL on a box-constrained quadratic (cond 1e3), 10,240-instance
+    batch, general API (fused='auto')."""
+    from optimization_solvers_tpu import linesearch as ls, solvers
+
+    B, n = 10_240 // SCALE, 64
+    d = jnp.asarray(np.logspace(0, 3, n), DTYPE)
+    oracle = make_oracle(problems.diag_quadratic(d))
+    lower = jnp.full((n,), -2.0, DTYPE)
+    upper = jnp.full((n,), 2.0, DTYPE)
+    method = solvers.SpectralProjectedGradient(grad_tol=1e-4)
+
+    def solve(x):
+        return solvers.batch_minimize(
+            method, ls.GLLQuadratic(), oracle, x, bounds=(lower, upper),
+            max_iter=1000, max_iter_ls=30)
+
+    rng = np.random.RandomState(3)
+    inputs = [jnp.asarray(rng.uniform(-2, 2, (B, n)), DTYPE)
+              for _ in range(REPEATS + 1)]
+    _fence(solve(inputs[0]))
+    dt, r = _timed(solve, inputs[1:])
+    sps = B / dt
+    return {
+        "metric": "config3_spg_box_quadratic_batch10k",
+        "value": round(sps, 2), "unit": "solves/s",
+        "vs_baseline": None,
+        "converged_fraction": float((np.asarray(r.status) == 1).mean()),
+        "median_final_f": float(np.median(np.asarray(r.f))),
+        "path": "general_api_fused_auto",
+    }
+
+
+def bench_config4():
+    """L-BFGS-B (m=10) on the bounded 10,000-dim log-sum-exp, 8-instance
+    batch on one chip (the block-partitioned multi-host variant is
+    `parallel.coordinate_sharded_lbfgsb_minimize`, exercised on the virtual
+    mesh in tests and by __graft_entry__.dryrun_multichip)."""
+    n, rows, B = 10_000 // SCALE, 512, 8
+    key = jax.random.PRNGKey(0)
+    A = (jax.random.normal(key, (rows, n)) / np.sqrt(n)).astype(DTYPE)
+    b = jnp.linspace(-1.0, 1.0, rows).astype(DTYPE)
+    oracle = make_oracle(problems.log_sum_exp(A, b))
+    lower = jnp.full((n,), -1.0, DTYPE)
+    upper = jnp.full((n,), 1.0, DTYPE)
+    cfg = LbfgsbConfig(m=10, pgtol=1e-5, factr=1e3, max_iter=200)
+    solve = jax.jit(jax.vmap(
+        lambda x0: lbfgsb_minimize(oracle, x0, lower, upper, cfg)))
+
+    rng = np.random.RandomState(4)
+    inputs = [jnp.asarray(rng.uniform(-0.5, 0.5, (B, n)), DTYPE)
+              for _ in range(REPEATS + 1)]
+    _fence(solve(inputs[0]))
+    dt, r = _timed(solve, inputs[1:])
+    cpu = _scipy_lse_baseline(np.asarray(A, np.float64),
+                              np.asarray(b, np.float64))
+    sps = B / dt
+    return {
+        "metric": "config4_lbfgsb_lse10k_batch8",
+        "value": round(sps, 2), "unit": "solves/s",
+        "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
+        "baseline_cpu_solves_per_sec": round(cpu, 4),
+        "converged_fraction": float((np.asarray(r.status) == 1).mean()),
+        "median_iterations": float(np.median(np.asarray(r.iterations))),
+        "path": "general_api_vmapped_xla",
+    }
+
+
+def _scipy_lse_baseline(A, b, samples=2):
+    try:
+        from scipy.optimize import fmin_l_bfgs_b
+        from scipy.special import logsumexp
+    except ImportError:
+        return float("nan")
+    n = A.shape[1]
+
+    def fg(x):
+        z = A @ x + b
+        m = z.max()
+        e = np.exp(z - m)
+        s = e.sum()
+        return m + np.log(s), A.T @ (e / s)
+
+    rng = np.random.RandomState(4)
+    bounds = [(-1.0, 1.0)] * n
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        fmin_l_bfgs_b(fg, rng.uniform(-0.5, 0.5, n), bounds=bounds, m=10,
+                      pgtol=1e-5, factr=1e3, maxiter=200)
+    return samples / (time.perf_counter() - t0)
+
+
+def bench_config5():
+    """Projected Newton on a 1024-dim box-constrained quadratic-plus-coupling
+    batch (64 instances): the per-iteration cost is the batched (n, n)
+    Cholesky riding the MXU — at n=1024 the XLA blocked factorization is the
+    right design (BENCH_NOTES round 1)."""
+    from optimization_solvers_tpu import linesearch as ls, solvers
+
+    n, B = 1024 // SCALE, max(2, 64 // SCALE)
+    d_np = np.linspace(1.0, 10.0, n)
+    d = jnp.asarray(d_np, DTYPE)
+
+    def f(x):
+        # separable quadratic + smooth coupling => dense SPD Hessian
+        return 0.5 * jnp.sum(d * x * x) + 0.1 * jnp.sum(x) ** 2 / n
+
+    oracle = make_oracle(f, with_hessian=True)
+    lower = jnp.full((n,), -2.0, DTYPE)
+    upper = jnp.full((n,), 2.0, DTYPE)
+    method = solvers.ProjectedNewton(grad_tol=1e-4)
+
+    def solve(x):
+        return solvers.batch_minimize(
+            method, ls.BackTrackingB(), oracle, x, bounds=(lower, upper),
+            max_iter=50)
+
+    rng = np.random.RandomState(5)
+    inputs = [jnp.asarray(rng.uniform(-2, 2, (B, n)), DTYPE)
+              for _ in range(REPEATS + 1)]
+    _fence(solve(inputs[0]))
+    dt, r = _timed(solve, inputs[1:])
+
+    # single-core numpy Newton twin (one instance, same iteration count)
+    H = np.diag(d_np) + 0.2 / n * np.ones((n, n))
+    x = rng.uniform(-2, 2, n)
+    med_it = max(1.0, float(np.median(np.asarray(r.iterations))))
+    t0 = time.perf_counter()
+    g = H @ x
+    np.clip(x - np.linalg.solve(H, g), -2.0, 2.0)
+    per_it = time.perf_counter() - t0
+    cpu = 1.0 / (per_it * med_it)
+    sps = B / dt
+    return {
+        "metric": "config5_projected_newton_n1024_batch64",
+        "value": round(sps, 2), "unit": "solves/s",
+        "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
+        "baseline_cpu_solves_per_sec": round(cpu, 2),
+        "converged_fraction": float((np.asarray(r.status) == 1).mean()),
+        "median_iterations": med_it,
+        "path": "general_api_vmapped_xla",
+    }
+
+
+_CONFIG_BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
+                   4: bench_config4, 5: bench_config5}
+
+
 def main():
+    if "--config" in sys.argv:
+        idx = int(sys.argv[sys.argv.index("--config") + 1])
+        bench_fn = _CONFIG_BENCHES[idx]
+        last = None
+        for _ in range(3):  # transient tunnel UNAVAILABLEs
+            try:
+                rec = bench_fn()
+                break
+            except Exception as exc:
+                last = exc
+        else:
+            raise last
+        rec["device"] = jax.devices()[0].device_kind
+        print(json.dumps(rec))
+        return
     use_unfused = "--unfused" in sys.argv
     bench = bench_unfused if use_unfused else bench_fused
     last = None
