@@ -15,9 +15,11 @@ Supported methods (reference files in ``src/steepest_descent/`` and
 ``src/quasi_newton/``):
   GradientDescent, CoordinateDescent (Gauss-Southwell), PnormDescent,
   ProjectedGradientDescent, SpectralProjectedGradient, NonlinearCG
-  (fr/pr+/hs/dy — no reference counterpart), and the dense quasi-Newton
+  (fr/pr+/hs/dy — no reference counterpart), the dense quasi-Newton
   family BFGS/DFP/Broyden (+ bounded twins and SR1B) with their (n, n, T)
-  inverse-Hessian slabs resident in VMEM.
+  inverse-Hessian slabs resident in VMEM, and the Newton family
+  Newton/ProjectedNewton/SPN (``src/newton/``) with per-iteration AD
+  Hessians and an in-kernel lane-parallel masked Cholesky.
 Supported searches (``src/line_search/``): BackTracking, BackTrackingB,
   GLLQuadratic (with the safeguarded quadratic interpolation trial update,
   ``gll_quadratic.rs:78-93``), NoSearch.
@@ -51,6 +53,13 @@ from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _batched_value,
     _batched_value_and_grad,
 )
+
+
+def _batched_hessian(f: Callable):
+    """(n, T) -> (n, n, T) per-lane dense Hessian (forward-over-reverse AD,
+    traced straight into the kernel for the fused Newton family)."""
+    h = jax.hessian(f)
+    return jax.vmap(h, in_axes=1, out_axes=2)
 
 
 class _Ctx:
@@ -311,9 +320,10 @@ class _QNSpec:
         self.restart = bool(method.restart_on_degeneracy)
 
     def scratch(self, n, T, dtype):
-        return [((n, n, T), dtype),  # B (approx inverse Hessian, lane-last)
-                ((1, T), dtype),     # s_norm
-                ((1, T), dtype)]     # y_norm
+        return [((n, n, T), dtype),   # B (approx inverse Hessian, lane-last)
+                ((1, T), dtype),      # s_norm
+                ((1, T), dtype),      # y_norm
+                ((1, T), jnp.int32)]  # consecutive degenerate pairs
 
     def const_arrays(self):
         return ()
@@ -362,20 +372,24 @@ class _QNSpec:
 
     # -- driver hooks -------------------------------------------------------
     def init(self, st, X, G, Fv, ctx):
-        B, sn, yn = st
+        B, sn, yn, stc = st
         for r0 in range(0, ctx.n, self.row_block):
             rb = min(self.row_block, ctx.n - r0)
             B[r0:r0 + rb] = jnp.broadcast_to(
                 self._eye_chunk(r0, rb, ctx), (rb, ctx.n, ctx.T))
         sn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
         yn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
+        stc[...] = jnp.zeros((1, ctx.T), jnp.int32)
 
     def converged(self, st, X, G, Fv, ctx):
-        B, sn, yn = st
+        B, sn, yn, stc = st
         gn = jnp.sqrt(ctx.sum(G * G))
         g_small = gn < self.tol
         if self.restart:
-            return g_small
+            # stall exit only after a restarted steepest-descent step also
+            # produced a degenerate pair (lane at its numerical floor) —
+            # see solvers/quasi_newton.py restart_on_degeneracy docs
+            return g_small | (stc[...] >= 2)
         return g_small | (sn[...] < self.tol) | (yn[...] < self.tol)
 
     def direction(self, st, X, G, Fv, active, ctx):
@@ -389,7 +403,7 @@ class _QNSpec:
         return d
 
     def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
-        B, sn, yn = st
+        B, sn, yn, stc = st
         eps = 1.2e-7 if ctx.dtype == jnp.float32 else 2.3e-16
         s = X - X_old
         y = G - G_old
@@ -474,6 +488,8 @@ class _QNSpec:
 
         sn[...] = jnp.where(active, s_norm, sn[...])
         yn[...] = jnp.where(active, y_norm, yn[...])
+        stc[...] = jnp.where(
+            active, jnp.where(ok, jnp.int32(0), stc[...] + 1), stc[...])
 
 
 class _QNBSpec(_QNSpec):
@@ -488,6 +504,266 @@ class _QNBSpec(_QNSpec):
         if self.restart:
             d = jnp.where(ctx.sum(G * d) < 0.0, d, ctx.clip(X - G) - X)
         return d
+
+
+class _NewtonCommon:
+    """Shared machinery for the fused Newton family (reference
+    ``src/newton/``): per-iteration dense Hessians (forward-over-reverse AD
+    traced straight into the kernel) and a lane-parallel masked Cholesky
+    over the (n, n, T) VMEM slab.
+
+    Mosaic re-expression of ``hessian.cholesky().solve(g)``
+    (``projected_newton.rs:75``): the right-looking factorization runs
+    ``n`` masked full-slab rank-1 downdates (every op full-lane VPU work,
+    no scalar indexing); the factor's column ``j`` is stored as ROW ``j``
+    of a second slab (``L[j] = column j``) because Mosaic supports dynamic
+    indexing on the major axis only.  Triangular solves are ``n`` masked
+    dot-axpy sweeps against those rows.  Work vectors live in scratch —
+    loop carries stay scalar (see module docstring rules).
+    """
+
+    bounded = False
+    needs_hessian = True
+
+    def _base_scratch(self, n, T, dtype):
+        return [((n, n, T), dtype),   # H (downdated in place)
+                ((n, n, T), dtype),   # L (row j = factor column j)
+                ((n, T), dtype),      # w1: rhs / solution
+                ((n, T), dtype)]      # w2: forward-solve intermediate
+
+    def preferred_tile(self, n, tile):
+        return min(tile, 128)
+
+    def vmem_limit(self, n, T, requested):
+        if requested is not None:
+            return requested
+        slabs = 2 * n * n * T * 4
+        if slabs * 2 > 120 * 2 ** 20:   # ~2x headroom for AD intermediates
+            raise ValueError(
+                f"fused Newton slabs (n={n}, tile={T}) exceed VMEM; use the "
+                "XLA batched-Cholesky path for large n")
+        if slabs * 2 > 16 * 2 ** 20:
+            return min(max(32 * 2 ** 20, slabs * 2), 120 * 2 ** 20)
+        return None
+
+    def const_arrays(self):
+        return ()
+
+    def _row_extract(self, v, j, ctx):
+        """v (n, T), traced j -> (1, T) element row via one-hot reduction."""
+        sel = lax.broadcasted_iota(jnp.int32, (ctx.n, ctx.T), 0) == j
+        return ctx.sum(jnp.where(sel, v, 0.0))
+
+    def _factor(self, st, ctx):
+        """Right-looking masked Cholesky of H (slab 0) into L (slab 1);
+        returns a (1, T) ``bad`` mask — true where a pivot collapsed (H not
+        numerically SPD on that lane)."""
+        H, L = st[0], st[1]
+        n, T = ctx.n, ctx.T
+        eps = 1.2e-7 if ctx.dtype == jnp.float32 else 2.3e-16
+        rows3 = lax.broadcasted_iota(jnp.int32, (n, n, T), 0)
+        cols3 = lax.broadcasted_iota(jnp.int32, (n, n, T), 1)
+        rows2 = lax.broadcasted_iota(jnp.int32, (n, T), 0)
+
+        # diagonal scale for the PD test: pivot must stay a sane fraction
+        # of the original diagonal, not just above machine eps
+        diag = ctx.sum_mid(jnp.where(rows3 == cols3, H[...], 0.0))[:, 0, :]
+        dmax = ctx.max(jnp.abs(diag))
+
+        def fact_body(j, bad):
+            Hj = H[j]                                     # (n, T)
+            piv = self._row_extract(Hj, j, ctx)           # (1, T)
+            bad = bad | (piv <= eps * jnp.maximum(dmax, 1.0))
+            piv_s = jnp.sqrt(jnp.maximum(piv, eps))
+            col = jnp.where(rows2 > j, Hj / piv_s, 0.0)
+            L[j] = col + jnp.where(rows2 == j, jnp.broadcast_to(piv_s, (n, T)), 0.0)
+            mask = (rows3 > j) & (cols3 > j)
+            H[...] = H[...] - jnp.where(mask, col[:, None, :] * col[None, :, :], 0.0)
+            return bad
+
+        return lax.fori_loop(0, n, fact_body, jnp.zeros((1, T), bool))
+
+    def _tri_solve(self, st, rhs, ctx):
+        """Solve ``H w = rhs`` re-using the factor in slab 1 (forward then
+        backward masked substitution sweeps); returns the (n, T) solution."""
+        L, w1, w2 = st[1], st[2], st[3]
+        n, T, dtype = ctx.n, ctx.T, ctx.dtype
+        rows2 = lax.broadcasted_iota(jnp.int32, (n, T), 0)
+
+        # forward solve L y = rhs  (y accumulates in w2, residual in w1)
+        w1[...] = rhs
+        w2[...] = jnp.zeros((n, T), dtype)
+
+        def fwd_body(j, _):
+            Lcol = L[j]
+            piv = self._row_extract(Lcol, j, ctx)
+            yj = self._row_extract(w1[...], j, ctx) / piv
+            w2[...] = w2[...] + jnp.where(rows2 == j, jnp.broadcast_to(yj, (n, T)), 0.0)
+            w1[...] = w1[...] - yj * jnp.where(rows2 > j, Lcol, 0.0)
+            return 0
+
+        lax.fori_loop(0, n, fwd_body, 0)
+
+        # backward solve L^T x = y  (x accumulates in w1)
+        w1[...] = jnp.zeros((n, T), dtype)
+
+        def bwd_body(i, _):
+            j = n - 1 - i
+            Lcol = L[j]
+            piv = self._row_extract(Lcol, j, ctx)
+            dotv = ctx.sum(jnp.where(rows2 > j, Lcol * w1[...], 0.0))
+            xj = (self._row_extract(w2[...], j, ctx) - dotv) / piv
+            w1[...] = w1[...] + jnp.where(rows2 == j, jnp.broadcast_to(xj, (n, T)), 0.0)
+            return 0
+
+        lax.fori_loop(0, n, bwd_body, 0)
+        return w1[...]
+
+    def _chol_solve(self, st, G, ctx):
+        """Factor + solve ``H step = G``; returns ``(step, ok_mask)``."""
+        bad = self._factor(st, ctx)
+        step = self._tri_solve(st, G, ctx)
+        ok = ~bad & (ctx.sum((~jnp.isfinite(step)).astype(ctx.dtype)) == 0.0)
+        return step, ok
+
+
+class _NewtonSpec(_NewtonCommon):
+    """Damped Newton (``newton/mod.rs:26-69``): ``d = -H^{-1} g`` with
+    steepest-descent fallback, stop when half the squared decrement
+    ``(H^{-1} d) . d`` is below tol (the reference's literal quantity,
+    ``mod.rs:40``).
+
+    Documented deviation: the unfused path inverts H (``jnp.linalg.inv``)
+    and takes Newton steps on indefinite-but-invertible Hessians; in the
+    kernel a non-PD H triggers the steepest-descent fallback instead (the
+    Cholesky is the only factorization that maps to lane-parallel VPU
+    work, and a guarded descent direction is strictly more robust)."""
+
+    def __init__(self, method):
+        self.tol = float(method.tol)
+
+    def scratch(self, n, T, dtype):
+        return self._base_scratch(n, T, dtype) + [((1, T), dtype)]  # dec2
+
+    def init(self, st, X, G, Fv, ctx):
+        dec2 = st[4]
+        dec2[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
+
+    def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
+        pass
+
+    def converged(self, st, X, G, Fv, ctx):
+        dec2 = st[4]
+        return dec2[...] * 0.5 < self.tol
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        dec2 = st[4]
+        H = st[0]
+        H[...] = ctx.bhess(X)
+        step, ok = self._chol_solve(st, G, ctx)
+        d = jnp.where(ok, -step, -G)
+        # decrement: the reference's literal (H^{-1} d) . d with
+        # d = -H^{-1} g (``newton/mod.rs:40``) — one more solve against the
+        # factor already sitting in the L slab
+        z = self._tri_solve(st, d, ctx)
+        dec2[...] = jnp.where(ok, ctx.sum(z * d), dec2[...])
+        return d
+
+
+class _PNSpec(_NewtonCommon):
+    """Projected Newton (``projected_newton.rs:64-110``):
+    ``d = P_box(x - H^{-1} g) - x``; stops on the projected-gradient
+    infinity norm or when iterate/gradient stopped moving.  The reference
+    panics on a non-PD Hessian; here that lane falls back to the projected
+    gradient direction."""
+
+    bounded = True
+
+    def __init__(self, method):
+        self.tol = float(method.grad_tol)
+
+    def scratch(self, n, T, dtype):
+        return self._base_scratch(n, T, dtype) + [
+            ((1, T), dtype), ((1, T), dtype)]  # s_norm, y_norm
+
+    def init(self, st, X, G, Fv, ctx):
+        sn, yn = st[4], st[5]
+        sn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
+        yn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
+
+    def _pg_norm(self, X, G, ctx):
+        at_lo = (X == ctx.lo) & (G > 0)
+        at_up = (X == ctx.up) & (G < 0)
+        pg = jnp.where(at_lo | at_up, 0.0, G)
+        return ctx.max(jnp.abs(pg))
+
+    def converged(self, st, X, G, Fv, ctx):
+        sn, yn = st[4], st[5]
+        too_close = (sn[...] < self.tol) | (yn[...] < self.tol)
+        return too_close | (self._pg_norm(X, G, ctx) < self.tol)
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        H = st[0]
+        H[...] = ctx.bhess(X)
+        step, ok = self._chol_solve(st, G, ctx)
+        step = jnp.where(ok, step, G)
+        return ctx.clip(X - step) - X
+
+    def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
+        sn, yn = st[4], st[5]
+        s = X - X_old
+        y = G - G_old
+        sn[...] = jnp.where(active, jnp.sqrt(ctx.sum(s * s)), sn[...])
+        yn[...] = jnp.where(active, jnp.sqrt(ctx.sum(y * y)), yn[...])
+
+
+class _SPNSpec(_NewtonCommon):
+    """Spectral projected Newton (``newton/spn.rs:76-91,139-148``): the
+    projected Newton step scaled by the safeguarded Barzilai-Borwein
+    scalar; BB update identical to SPG."""
+
+    bounded = True
+
+    def __init__(self, method):
+        self.tol = float(method.grad_tol)
+        self.lam_min = float(method.lambda_min)
+        self.lam_max = float(method.lambda_max)
+
+    def scratch(self, n, T, dtype):
+        return self._base_scratch(n, T, dtype) + [((1, T), dtype)]  # lam
+
+    def init(self, st, X, G, Fv, ctx):
+        lam = st[4]
+        d0 = ctx.clip(X[...] - G[...]) - X[...]
+        l0 = 1.0 / ctx.max(jnp.abs(d0))
+        lam[...] = jnp.clip(l0, self.lam_min, self.lam_max)
+
+    def _pg_norm(self, X, G, ctx):
+        at_lo = (X == ctx.lo) & (G > 0)
+        at_up = (X == ctx.up) & (G < 0)
+        pg = jnp.where(at_lo | at_up, 0.0, G)
+        return ctx.max(jnp.abs(pg))
+
+    def converged(self, st, X, G, Fv, ctx):
+        return self._pg_norm(X, G, ctx) < self.tol
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        H, lam = st[0], st[4]
+        H[...] = ctx.bhess(X)
+        step, ok = self._chol_solve(st, G, ctx)
+        step = jnp.where(ok, step, G)
+        return ctx.clip(X - lam[...] * step) - X
+
+    def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
+        lam = st[4]
+        s = X - X_old
+        y = G - G_old
+        sy = ctx.sum(s * y)
+        lam_bb = jnp.clip(ctx.sum(s * s) / sy, self.lam_min, self.lam_max)
+        lam_new = jnp.where(sy <= 0.0,
+                            jnp.full((1, ctx.T), self.lam_max, ctx.dtype),
+                            lam_bb)
+        lam[...] = jnp.where(active, lam_new, lam[...])
 
 
 # ---------------------------------------------------------------------------
@@ -631,13 +907,19 @@ def _build_specs(method, line_search):
     ``None`` if the combo has no fused form (caller falls back)."""
     from optimization_solvers_tpu import linesearch as ls
     from optimization_solvers_tpu.solvers import (
-        nonlinear_cg, quasi_newton, steepest)
+        newton, nonlinear_cg, quasi_newton, steepest)
 
     mspec = None
     if isinstance(method, quasi_newton.QuasiNewtonB):
         mspec = _QNBSpec(method)
     elif isinstance(method, quasi_newton.QuasiNewton):
         mspec = _QNSpec(method)
+    elif isinstance(method, newton.SpectralProjectedNewton):
+        mspec = _SPNSpec(method)
+    elif isinstance(method, newton.ProjectedNewton):
+        mspec = _PNSpec(method)
+    elif isinstance(method, newton.Newton):
+        mspec = _NewtonSpec(method)
     if isinstance(method, steepest.SpectralProjectedGradient):
         mspec = _SPGSpec(method)
     elif isinstance(method, steepest.ProjectedGradientDescent):
@@ -711,6 +993,8 @@ def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
                    up_ref[0] if bounded else None,
                    safe_reduce=(n_consts + n_mconsts) > 0)
         ctx.method_consts = [r[...] for r in mconst_refs]
+        if getattr(mspec, "needs_hessian", False):
+            ctx.bhess = _batched_hessian(f_local)
 
         X[...] = ctx.clip(x0_ref[0]) if mspec.bounded else x0_ref[0]
         fv, gv = bvg(X[...])

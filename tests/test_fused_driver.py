@@ -72,6 +72,79 @@ def test_fused_matches_unfused(method, search, bounded):
     np.testing.assert_allclose(r_fus.f, r_ref.f, atol=1e-9)
 
 
+def _coupled(x, d):
+    # non-separable strictly-convex objective: dense SPD Hessian
+    # diag(d) + 3 (sum x)^2 / n * ones — exercises the full in-kernel
+    # lane-parallel Cholesky, not just its diagonal path
+    s = jnp.sum(x)
+    return 0.5 * jnp.sum(d * x * x) + 0.25 * s ** 4 / x.shape[-1]
+
+
+NEWTON_COMBOS = [
+    (solvers.Newton(tol=1e-12), ls.BackTracking(), False),
+    (solvers.ProjectedNewton(grad_tol=1e-8), ls.BackTrackingB(), True),
+    (solvers.SpectralProjectedNewton(grad_tol=1e-8), ls.BackTrackingB(), True),
+]
+
+
+@pytest.mark.parametrize(
+    "method,search,bounded", NEWTON_COMBOS,
+    ids=[type(m).__name__ for m, _, _ in NEWTON_COMBOS],
+)
+def test_newton_fused_matches_unfused(method, search, bounded):
+    x0 = _x0()
+    bounds = BOUNDS if bounded else None
+    oracle = make_oracle(lambda x: _coupled(x, DVEC), with_hessian=True)
+    r_ref = solvers.batch_minimize(
+        method, search, oracle, x0, bounds=bounds,
+        max_iter=200, max_iter_ls=40, fused=False,
+    )
+    r_fus = fused_minimize(
+        method, search, _coupled, x0,
+        BOUNDS[0] if bounded else None, BOUNDS[1] if bounded else None,
+        consts=(DVEC,), max_iter=200, max_iter_ls=40, tile=16,
+        interpret=True,
+    )
+    # SPN's BB-scaled step legitimately exhausts the budget on some lanes
+    # (the unfused path does too) — parity is status equality, not
+    # universal convergence
+    np.testing.assert_array_equal(
+        np.asarray(r_fus.status), np.asarray(r_ref.status))
+    np.testing.assert_allclose(r_fus.x, r_ref.x, atol=1e-5)
+    np.testing.assert_allclose(r_fus.f, r_ref.f, atol=1e-9)
+
+
+def test_newton_fused_active_bound():
+    # constrained optimum with an active bound: minimize the coupled
+    # objective shifted so the unconstrained optimum sits outside the box
+    d = jnp.asarray(np.linspace(1.0, 5.0, N))
+
+    def f(x, dd):
+        return 0.5 * jnp.sum(dd * (x - 2.0) ** 2)
+
+    lo, hi = jnp.full(N, -1.0), jnp.full(N, 1.0)
+    x0 = jnp.asarray(np.random.RandomState(2).uniform(-1, 1, (16, N)))
+    r = fused_minimize(
+        solvers.ProjectedNewton(grad_tol=1e-8), ls.BackTrackingB(), f, x0,
+        lo, hi, consts=(d,), max_iter=100, tile=16, interpret=True)
+    assert bool(jnp.all(r.status == 1))
+    np.testing.assert_allclose(np.asarray(r.x), np.ones((16, N)), atol=1e-6)
+
+
+def test_newton_fused_nonpd_fallback():
+    # start in a concave region (H not PD): the kernel must fall back to
+    # steepest descent instead of emitting NaNs, and still converge
+    def f(x):
+        return jnp.sum(jnp.cosh(x) - 2.0 * jnp.exp(-x * x))
+
+    x0 = jnp.asarray(np.random.RandomState(3).uniform(-0.4, 0.4, (8, 4)))
+    r = fused_minimize(
+        solvers.Newton(tol=1e-12), ls.BackTracking(), f, x0,
+        max_iter=300, max_iter_ls=40, tile=8, interpret=True)
+    assert bool(jnp.all(r.status == 1))
+    assert bool(jnp.all(jnp.isfinite(r.f)))
+
+
 def test_pnorm_descent_const_input():
     # P^{-1} rides as a method const input (an extra kernel operand)
     method = solvers.PnormDescent(grad_tol=1e-6, inverse_p=jnp.diag(1.0 / DVEC))
