@@ -42,6 +42,8 @@ class _QNState(NamedTuple):
     Bg: jax.Array      # cached B @ g at the current iterate (fused mode
                        # computes it inside the update kernel; unfused mode
                        # recomputes it in direction())
+    stalls: jax.Array = 0  # consecutive degenerate pairs
+                       # (restart_on_degeneracy mode only)
 
 
 def _bfgs_update(B, s, y, rho):
@@ -112,7 +114,8 @@ class _QuasiNewtonCommon:
         n = x.shape[-1]
         inf = jnp.asarray(jnp.inf, x.dtype)
         # B0 = I so B0 g = g
-        return _QNState(jnp.eye(n, dtype=x.dtype), inf, inf, ev.g)
+        return _QNState(jnp.eye(n, dtype=x.dtype), inf, inf, ev.g,
+                        jnp.zeros((), jnp.int32))
 
     def converged(self, mstate: _QNState, x, ev, bounds: Bounds):
         # s/y-too-close early exits, then the 2-norm gradient test
@@ -120,7 +123,10 @@ class _QuasiNewtonCommon:
         # the steepest-descent family)
         g_small = jnp.linalg.norm(ev.g) < self.tol
         if self.restart_on_degeneracy:
-            return g_small
+            # a restarted (steepest-descent) step that stalls again means
+            # the lane sits at its numerical floor: accept the reference's
+            # stall exit only after the restart had its chance
+            return g_small | (mstate.stalls >= 2)
         too_close = (mstate.s_norm < self.tol) | (mstate.y_norm < self.tol)
         return too_close | g_small
 
@@ -153,7 +159,7 @@ class _QuasiNewtonCommon:
             B_new = _UPDATES[self.update](mstate.B, s, y, vdot(s, y))
             B_new = jnp.where(skip, mstate.B, B_new)
             Bg = mstate.Bg  # recomputed lazily in direction()
-        return _QNState(B_new, s_norm, y_norm, Bg)
+        return _QNState(B_new, s_norm, y_norm, Bg, mstate.stalls)
 
     def _robust_post_step(self, mstate, s, y, s_norm, y_norm, skip):
         """scale_b0 / restart_on_degeneracy variants (see field docs)."""
@@ -174,7 +180,8 @@ class _QuasiNewtonCommon:
             B_next = jnp.where(ok, B_new, eye)
         else:
             B_next = jnp.where(ok, B_new, B_cur)
-        return _QNState(B_next, s_norm, y_norm, mstate.Bg)
+        stalls = jnp.where(ok, jnp.int32(0), mstate.stalls + 1)
+        return _QNState(B_next, s_norm, y_norm, mstate.Bg, stalls)
 
 
 @dataclasses.dataclass(frozen=True)
