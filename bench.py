@@ -188,13 +188,17 @@ def bench_config1():
     rng = np.random.RandomState(0)
     xs = [jnp.asarray(rng.uniform(-5, 5, n), DTYPE) for _ in range(K + 1)]
     _fence(solve(xs[0]))  # compile
+    # K independent sequential API calls; dispatch is async, so fence once
+    # at the end (serving throughput) and separately time one fenced call
+    # (latency)
     t0 = time.perf_counter()
-    fs, sts = [], []
-    for x in xs[1:]:
-        r = solve(x)
-        fs.append(_fence(r))
-        sts.append(int(r.status))
+    rs = [solve(x) for x in xs[1:]]
+    fs = [float(np.asarray(r.f)) for r in rs]
+    sts = [int(r.status) for r in rs]
     dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    _fence(solve(xs[1]))
+    latency_ms = (time.perf_counter() - t1) * 1e3
 
     # single-core numpy twin of the same algorithm (reference execution model)
     d_np = np.asarray(d, np.float64)
@@ -225,6 +229,7 @@ def bench_config1():
         "baseline_cpu_solves_per_sec": round(cpu, 2),
         "converged_fraction": float(np.mean(np.asarray(sts) == 1)),
         "median_final_f": float(np.median(fs)),
+        "single_solve_latency_ms": round(latency_ms, 2),
         "path": "general_api_minimize",
     }
 
@@ -265,6 +270,7 @@ def bench_config2():
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
         "stationary_fraction": float(stationary.mean()),
         "median_final_f": float(np.median(f_vals)),
+        "median_iterations": float(np.median(np.asarray(r.iterations))),
         "path": "general_api_fused_auto",
     }
 
@@ -322,6 +328,7 @@ def bench_config3():
         "vs_baseline": None,
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
         "median_final_f": float(np.median(np.asarray(r.f))),
+        "median_iterations": float(np.median(np.asarray(r.iterations))),
         "path": "general_api_fused_auto",
     }
 
@@ -400,7 +407,21 @@ def bench_config5():
         # separable quadratic + smooth coupling => dense SPD Hessian
         return 0.5 * jnp.sum(d * x * x) + 0.1 * jnp.sum(x) ** 2 / n
 
-    oracle = make_oracle(f, with_hessian=True)
+    # analytic-oracle seam (the reference's own oracle model,
+    # func_eval.rs:5-41): value/grad via AD, the constant dense Hessian
+    # supplied analytically — the AD hessian would re-derive it every
+    # iteration at n forward-over-reverse passes
+    from optimization_solvers_tpu.core.oracle import Oracle
+    from optimization_solvers_tpu.core.types import FuncEval
+
+    H_const = jnp.diag(d) + (0.2 / n) * jnp.ones((n, n), DTYPE)
+    _vg = jax.value_and_grad(f)
+
+    def full(x):
+        fv, g = _vg(x)
+        return FuncEval(fv, g, H_const)
+
+    oracle = Oracle(full, value_fn=f)
     lower = jnp.full((n,), -2.0, DTYPE)
     upper = jnp.full((n,), 2.0, DTYPE)
     method = solvers.ProjectedNewton(grad_tol=1e-4)
@@ -444,6 +465,12 @@ _CONFIG_BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
 def main():
     if "--config" in sys.argv:
         idx = int(sys.argv[sys.argv.index("--config") + 1])
+        if idx == 1:
+            # config 1 is the reference's CPU-runnable anchor (single tiny
+            # instances, sequential): its home is the CPU backend — on TPU
+            # through the serving tunnel every solve pays ~30 ms dispatch
+            # round-trip, which measures the relay, not the framework
+            jax.config.update("jax_platforms", "cpu")
         bench_fn = _CONFIG_BENCHES[idx]
         last = None
         for _ in range(3):  # transient tunnel UNAVAILABLEs
