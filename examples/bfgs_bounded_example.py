@@ -8,4 +8,4 @@ res = solvers.minimize(
     solvers.BFGSB(tol=1e-6), ls.MoreThuenteB(),
     make_oracle(f), jnp.array([1.5, 1.5]), bounds=bounds, max_iter=500)
 report("bfgs_bounded", res, f)
-assert float(res.f) < 1e-6  # unconstrained min (0,0) is inside the box corner
+check(res, [0.0, 0.0])  # unconstrained min (0,0) sits at the box corner

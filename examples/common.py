@@ -30,3 +30,13 @@ def report(name, res, f):
     print(f"[{name}] f(x*) = {float(res.f)}")
     print(f"[{name}] iterations: {int(res.iterations)}  status: {Status(int(res.status)).name}")
     return res
+
+
+def check(res, x_star, f_star=0.0, *, x_tol=1e-5, f_tol=1e-10):
+    """Reference-strictness example checks (examples/quadratic.rs:43 asserts
+    the exact minimum): converged status, iterate at the known minimizer,
+    value at the known minimum."""
+    assert int(res.status) == int(Status.CONVERGED), Status(int(res.status))
+    err = float(jnp.max(jnp.abs(res.x - jnp.asarray(x_star, res.x.dtype))))
+    assert err < x_tol, f"|x - x*|_inf = {err}"
+    assert abs(float(res.f) - f_star) < f_tol, f"f = {float(res.f)}"

@@ -7,4 +7,4 @@ res = solvers.minimize(
     solvers.CoordinateDescent(grad_tol=1e-6), ls.BackTracking(),
     make_oracle(f), jnp.array([10.0, -5.0, 4.0]), max_iter=2000)
 report("coordinate_descent", res, f)
-assert float(res.f) < 1e-6
+check(res, [0.0, 0.0, 0.0])

@@ -8,4 +8,4 @@ res = solvers.minimize(
     solvers.DFPB(tol=1e-6), ls.MoreThuenteB(),
     make_oracle(f), jnp.array([1.2, 1.2]), bounds=bounds, max_iter=500)
 report("dfp_bounded", res, f)
-assert float(res.f) < 1e-6
+check(res, [0.0, 0.0])

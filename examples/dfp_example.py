@@ -7,4 +7,4 @@ res = solvers.minimize(
     solvers.DFP(tol=1e-6), ls.MoreThuente(),
     make_oracle(f), jnp.array([5.0, -5.0]), max_iter=200)
 report("dfp", res, f)
-assert float(res.f) < 1e-6
+check(res, [0.0, 0.0])

@@ -7,4 +7,4 @@ res = solvers.minimize(
     solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(c1=1e-4, beta=0.5),
     make_oracle(f), jnp.array([10.0, -10.0]), max_iter=100)
 report("gradient_descent", res, f)
-assert float(res.f) < 1e-6
+check(res, [0.0, 0.0])

@@ -11,4 +11,4 @@ res = lbfgsb_minimize(
     jnp.full(n, -2.0), jnp.full(n, 2.0),
     LbfgsbConfig(m=10, pgtol=1e-7, factr=10.0, max_iter=1000))
 report("lbfgsb", res, problems.rosenbrock())
-assert float(res.f) < 1e-8
+check(res, jnp.ones(n), x_tol=1e-4, f_tol=1e-8)

@@ -7,4 +7,4 @@ res = solvers.minimize(
     solvers.Newton(tol=1e-12), ls.MoreThuente(),
     make_oracle(f, with_hessian=True), jnp.array([1.0, 1.5]), max_iter=100)
 report("newton", res, f)
-assert abs(float(res.f) - 1.0) < 1e-6
+check(res, [0.0, 0.0], f_star=1.0)

@@ -8,4 +8,4 @@ res = solvers.minimize(
     solvers.PnormDescent(grad_tol=1e-6, inverse_p=inv_p), ls.BackTracking(),
     make_oracle(f), jnp.array([15.0, -7.0]), max_iter=100)
 report("pnorm_descent", res, f)
-assert float(res.f) < 1e-6
+check(res, [0.0, 0.0])

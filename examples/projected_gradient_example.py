@@ -8,4 +8,4 @@ res = solvers.minimize(
     solvers.ProjectedGradientDescent(grad_tol=1e-8), ls.BackTrackingB(),
     make_oracle(f), jnp.array([5.0, 5.0]), bounds=bounds, max_iter=1000)
 report("projected_gradient", res, f)
-assert abs(float(res.f) - 5.0) < 1e-6
+check(res, [1.0, 1.0], f_star=5.0, f_tol=1e-8)

@@ -8,4 +8,4 @@ res = solvers.minimize(
     solvers.BFGS(tol=1e-6), ls.MoreThuente(),
     make_oracle(f), jnp.array([180.0, 152.0]), max_iter=100)
 report("quadratic", res, f)
-assert float(res.f) < 1e-6
+check(res, [0.0, 0.0])

@@ -8,4 +8,4 @@ res = solvers.minimize(
     solvers.SpectralProjectedGradient(grad_tol=1e-6), ls.GLLQuadratic(c1=1e-4, m=10),
     make_oracle(f), jnp.array([0.9, -0.8]), bounds=bounds, max_iter=1000)
 report("spg", res, f)
-assert abs(float(res.f) - 1.0) < 1e-6
+check(res, [0.0, 0.0], f_star=1.0)

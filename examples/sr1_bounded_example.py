@@ -8,4 +8,4 @@ res = solvers.minimize(
     solvers.SR1B(tol=1e-6), ls.MoreThuenteB(),
     make_oracle(f), jnp.array([0.9, 0.9]), bounds=bounds, max_iter=500)
 report("sr1_bounded", res, f)
-assert float(res.f) < 1e-6
+check(res, [0.0, 0.0])
