@@ -23,6 +23,11 @@ def __getattr__(name):
     if name == "bfgs_solve_fused":
         from optimization_solvers_tpu.ops.pallas_bfgs import bfgs_solve_fused
         return bfgs_solve_fused
+    if name == "newton_cg_solve_fused":
+        from optimization_solvers_tpu.ops.pallas_newton_cg import (
+            newton_cg_solve_fused,
+        )
+        return newton_cg_solve_fused
     if name == "fused_minimize":
         from optimization_solvers_tpu.ops.pallas_driver import fused_minimize
         return fused_minimize
@@ -41,6 +46,7 @@ __all__ = [
     "lbfgsb_solve_fused_scaled",
     "spg_solve_fused",
     "bfgs_solve_fused",
+    "newton_cg_solve_fused",
     "fused_minimize",
     "fused_supported",
 ]
