@@ -54,28 +54,40 @@ class Oracle:
 
 
 def make_oracle(
-    f: Callable[[jax.Array], jax.Array],
+    f: Callable[..., jax.Array],
     *,
     with_hessian: bool = False,
+    data: tuple = (),
 ) -> Oracle:
     """Build an autodiff oracle from a scalar objective ``f(x) -> f``.
 
     Replaces the reference's hand-written analytic oracles: gradients come
     from reverse-mode AD and (optionally) Hessians from forward-over-reverse,
     all fused by XLA into the surrounding jitted solve.
+
+    ``data`` carries problem-data arrays explicitly: the objective is called
+    as ``f(x, *data)``.  Keeping the data out of Python closures (the
+    JAX-idiomatic split of code vs. arrays, same shape as flax's
+    params-outside-module) is what lets the fused whole-solve Pallas kernels
+    accept it as kernel operands — a closure-captured array cannot cross the
+    ``pallas_call`` boundary and forces the slow vmapped fallback.
     """
-    value_and_grad = jax.value_and_grad(f)
-    hess = jax.hessian(f) if with_hessian else None
+    data = tuple(jax.numpy.asarray(c) for c in data)
+    f_x = (lambda x: f(x, *data)) if data else f
+    value_and_grad = jax.value_and_grad(f_x)
+    hess = jax.hessian(f_x) if with_hessian else None
 
     def full(x: jax.Array) -> FuncEval:
         fv, g = value_and_grad(x)
         h = hess(x) if hess is not None else None
         return FuncEval(fv, g, h)
 
-    oracle = Oracle(full, value_fn=f)
-    # keep the raw scalar objective around: the fused whole-solve kernels
-    # (ops/pallas_driver.py and friends) trace it directly into the kernel
+    oracle = Oracle(full, value_fn=f_x)
+    # keep the raw scalar objective + data around: the fused whole-solve
+    # kernels (ops/pallas_driver.py and friends) trace ``f`` directly into
+    # the kernel and pass ``data`` as consts operands
     oracle.raw_f = f
+    oracle.data = data
     return oracle
 
 

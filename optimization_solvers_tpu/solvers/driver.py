@@ -213,6 +213,7 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
     try:
         return pallas_driver.fused_minimize(
             method, line_search, raw_f, x0, lower, upper,
+            consts=getattr(oracle, "data", ()),
             max_iter=kwargs.get("max_iter", 1000),
             max_iter_ls=kwargs.get("max_iter_ls", 100),
         )

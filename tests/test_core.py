@@ -80,3 +80,37 @@ def test_problems_known_minima():
     assert ros(jnp.ones(100)) == 0.0
     bowl = exp = problems.exp_bowl()
     assert exp(jnp.zeros(2)) == 1.0
+
+
+def test_make_oracle_explicit_problem_data():
+    # data=(...) keeps problem arrays out of closures so the fused kernels
+    # can take them as consts operands; the unfused path must behave
+    # identically to the closure form
+    d = jnp.asarray(np.linspace(1.0, 4.0, 8))
+    oracle = make_oracle(lambda x, diag: 0.5 * jnp.sum(diag * x * x),
+                         data=(d,))
+    assert len(oracle.data) == 1
+    np.testing.assert_array_equal(oracle.data[0], d)
+    x = jnp.asarray(np.arange(8.0))
+    ev = oracle(x)
+    closure = make_oracle(lambda x: 0.5 * jnp.sum(d * x * x))
+    ev_c = closure(x)
+    assert float(ev.f) == float(ev_c.f)
+    np.testing.assert_array_equal(ev.g, ev_c.g)
+    assert float(oracle.value(x)) == float(ev.f)
+
+
+def test_batch_minimize_with_data_oracle():
+    from optimization_solvers_tpu import linesearch as ls, solvers
+
+    d = jnp.asarray(np.logspace(0, 2, 16))
+    oracle = make_oracle(lambda x, diag: 0.5 * jnp.sum(diag * x * x),
+                         data=(d,))
+    x0 = jnp.asarray(np.random.RandomState(0).uniform(-2, 2, (4, 16)))
+    res = solvers.batch_minimize(
+        solvers.SpectralProjectedGradient(grad_tol=1e-6), ls.GLLQuadratic(),
+        oracle, x0, bounds=(jnp.full(16, -2.0), jnp.full(16, 2.0)),
+        max_iter=2000)
+    assert int((res.status == 1).sum()) == 4
+    np.testing.assert_allclose(np.asarray(res.x), np.zeros((4, 16)),
+                               atol=1e-5)
