@@ -42,6 +42,7 @@ from optimization_solvers_tpu.solvers.lbfgs import LBFGS, LbfgsState
 from optimization_solvers_tpu.solvers.nonlinear_cg import NonlinearCG
 from optimization_solvers_tpu.solvers.lbfgsb import (
     LbfgsbConfig,
+    lbfgsb_batch_minimize,
     lbfgsb_minimize,
     lbfgsb_minimize_scaled,
     make_lbfgsb_step,
@@ -79,6 +80,7 @@ __all__ = [
     "NonlinearCG",
     "LbfgsState",
     "LbfgsbConfig",
+    "lbfgsb_batch_minimize",
     "lbfgsb_minimize",
     "lbfgsb_minimize_scaled",
     "make_lbfgsb_step",

@@ -65,6 +65,20 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
     happens at trace time, so tracing is zero-cost when off.
     """
     oracle = ensure_oracle(oracle)
+    needs_h = bool(getattr(method, "needs_hessian", False))
+
+    def _strip(ev: FuncEval) -> FuncEval:
+        # The dense Hessian NEVER rides the loop carry: an (n, n) buffer in
+        # the while-loop carry (and, transitively, every line-search trial
+        # step's carry) costs a full copy per step — measured 8x the actual
+        # eval+Cholesky work on the 1024-dim batched projected-Newton
+        # workload.  Hessian-consuming directions re-evaluate the oracle at
+        # the current iterate instead; XLA dead-code-eliminates the unused
+        # Hessian computation here and hoists loop-invariant Hessians out
+        # of the loop entirely.
+        if ev.hessian is not None:
+            return ev._replace(hessian=None)
+        return ev
 
     trace_cb = None
     if callback is None:
@@ -79,7 +93,7 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
         x0 = method.prepare_x0(x0, bounds)
         ev0 = oracle(x0)
         return SolverCarry(
-            x0, ev0, jnp.int32(0),
+            x0, _strip(ev0), jnp.int32(0),
             method.init(x0, ev0, bounds),
             line_search.init_state(ev0),
         )
@@ -89,12 +103,16 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
         return in_domain & ~method.converged(c.mstate, c.x, c.ev, bounds)
 
     def step_fn(c: SolverCarry) -> SolverCarry:
-        d, mstate = method.direction(c.mstate, c.x, c.ev, bounds)
+        # Hessian-consuming directions get a fresh full evaluation at the
+        # carried iterate (the carry itself is Hessian-free, see _strip);
+        # the duplicate value/grad work is dead-code-eliminated by XLA
+        ev_dir = oracle(c.x) if needs_h else c.ev
+        d, mstate = method.direction(c.mstate, c.x, ev_dir, bounds)
         t, ls_state = line_search.step_len(
             oracle, c.x, c.ev, d, c.ls_state, bounds, max_iter_ls
         )
         x_new = c.x + t * d
-        ev_new = oracle(x_new)
+        ev_new = _strip(oracle(x_new))
         mstate = method.post_step(mstate, c.x, c.ev, d, t, x_new, ev_new, bounds)
         if callback is not None:
             jax.debug.callback(callback, c.k, x_new, ev_new.f)
@@ -224,6 +242,47 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
         return None
 
 
+def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
+                             kwargs) -> SolveResult:
+    """One global ``lax.while_loop`` over a vmapped step: the whole batch
+    advances in lockstep, converged lanes freeze via per-lane masks.
+
+    This is deliberately NOT ``vmap(minimize)``: vmapping a ``while_loop``
+    batches its predicate, and the resulting select-on-carry loop interacts
+    pathologically with batched factorizations on TPU — measured 2,025 ms
+    vs 66 ms for the identical batched projected-Newton iteration
+    (BENCH_NOTES round 2).  A single scalar-predicate loop whose body is a
+    vmapped step is the same dataflow the fused Pallas kernels use, and XLA
+    schedules it well.
+    """
+    max_iter = kwargs.get("max_iter", 1000)
+    init_fn, keep_going_fn, step_fn = make_step(
+        method, line_search, oracle, bounds=bounds,
+        max_iter_ls=kwargs.get("max_iter_ls", 100),
+        callback=kwargs.get("callback"),
+    )
+    c0 = jax.vmap(init_fn)(x0)
+    alive = jax.vmap(keep_going_fn)
+
+    def merge(active, new, old):
+        return jnp.where(active.reshape(active.shape + (1,) * (new.ndim - 1)),
+                         new, old)
+
+    def body(s):
+        i, c = s
+        active = alive(c)
+        stepped = jax.vmap(step_fn)(c)
+        c = jax.tree.map(lambda nw, od: merge(active, nw, od), stepped, c)
+        return (i + 1, c)
+
+    def cond(s):
+        i, c = s
+        return (i < max_iter) & jnp.any(alive(c))
+
+    _, final = lax.while_loop(cond, body, (jnp.int32(0), c0))
+    return jax.vmap(lambda c: _result(c, max_iter))(final)
+
+
 def batch_minimize(
     method,
     line_search,
@@ -235,20 +294,20 @@ def batch_minimize(
     fused: str | bool = "auto",
     **kwargs,
 ) -> SolveResult:
-    """``vmap`` of :func:`minimize` over a leading batch axis of ``x0``.
+    """Batched :func:`minimize` over a leading batch axis of ``x0``.
 
     This is the capability the single-instance reference lacks entirely
     (SURVEY.md §2.5): thousands of instances advance in lockstep per chip;
-    converged lanes freeze (per-lane while-loop predicates) while active
-    lanes keep iterating.  Set ``batched_bounds=True`` if ``bounds`` carry a
-    matching leading batch axis.
+    converged lanes freeze (per-lane masks) while active lanes keep
+    iterating.  Set ``batched_bounds=True`` if ``bounds`` carry a matching
+    leading batch axis.
 
-    ``fused`` controls the TPU whole-solve kernel routing
-    (ops/pallas_driver.py): ``"auto"`` (default) uses the fused kernel on a
-    TPU backend when the (method, line_search) combo has one and the oracle
-    was built by :func:`make_oracle` from a closure-free scalar objective;
-    ``True`` forces it (raising for unsupported combos); ``False`` always
-    takes the flexible vmapped while-loop path.
+    Routing: on TPU (or with ``fused=True``) combos with a fused whole-solve
+    Pallas kernel take it (ops/pallas_driver.py) when the oracle exposes a
+    raw scalar objective; everything else runs the lockstep batched XLA loop
+    (:func:`_batch_minimize_lockstep`).  ``fused=False`` always takes the
+    lockstep path.  ``batched_bounds=True`` falls back to ``vmap`` of the
+    single-instance loop (bounds ride the batch axis there).
     """
     if fused and not batched_bounds and kwargs.get("callback") is None:
         on_tpu = jax.default_backend() == "tpu"
@@ -262,11 +321,15 @@ def batch_minimize(
                     "fused=True but no fused kernel applies (unsupported "
                     "combo, or the oracle lacks a raw scalar objective)")
 
-    def solve_one(x0_i, bounds_i):
-        return minimize(method, line_search, oracle, x0_i, bounds=bounds_i, **kwargs)
+    if batched_bounds and bounds is not None:
+        def solve_one(x0_i, bounds_i):
+            return minimize(method, line_search, oracle, x0_i,
+                            bounds=bounds_i, **kwargs)
 
-    in_axes = (0, 0 if (bounds is not None and batched_bounds) else None)
-    return jax.vmap(solve_one, in_axes=in_axes)(x0, bounds)
+        return jax.vmap(solve_one, in_axes=(0, 0))(x0, bounds)
+
+    return _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
+                                    kwargs)
 
 
 def make_solver(method, line_search, oracle, *, batched: bool = False, **kwargs):

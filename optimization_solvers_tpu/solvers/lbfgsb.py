@@ -441,7 +441,11 @@ def lbfgsb_minimize(
         return (c.k < cfg.max_iter) & keep_going_fn(c)
 
     final = lax.while_loop(cond, step_fn, init_fn(x0))
+    return _lbfgsb_result(final, cfg)
 
+
+def _lbfgsb_result(final: "_Carry", cfg: LbfgsbConfig) -> SolveResult:
+    # elementwise, so the same expression serves single and batched carries
     status = jnp.where(
         final.k >= cfg.max_iter,
         jnp.int32(Status.MAX_ITER_REACHED),
@@ -452,6 +456,48 @@ def lbfgsb_minimize(
         ),
     )
     return SolveResult(final.x, final.f, final.g, final.k, status)
+
+
+def lbfgsb_batch_minimize(
+    oracle,
+    x0: jax.Array,                  # (B, n)
+    lower: jax.Array,
+    upper: jax.Array,
+    config: LbfgsbConfig = LbfgsbConfig(),
+) -> SolveResult:
+    """Lockstep batched L-BFGS-B: ONE global ``lax.while_loop`` whose body
+    is the vmapped outer iteration, converged lanes frozen by per-lane
+    masks.
+
+    Prefer this over ``vmap(lbfgsb_minimize)`` for batches: vmapping a
+    ``while_loop`` batches its predicate and the resulting select-on-carry
+    loop schedules pathologically on TPU (measured 30-50x slower on batched
+    second-order workloads — see solvers/driver.py
+    ``_batch_minimize_lockstep``, same design).
+    """
+    cfg = config
+    init_fn, keep_going_fn, step_fn = make_lbfgsb_step(
+        oracle, lower, upper, cfg)
+    c0 = jax.vmap(init_fn)(x0)
+    alive = jax.vmap(keep_going_fn)
+
+    def merge(active, nw, od):
+        return jnp.where(
+            active.reshape(active.shape + (1,) * (nw.ndim - 1)), nw, od)
+
+    def body(s):
+        i, c = s
+        active = alive(c)
+        stepped = jax.vmap(step_fn)(c)
+        c = jax.tree.map(lambda nw, od: merge(active, nw, od), stepped, c)
+        return (i + 1, c)
+
+    def cond(s):
+        i, c = s
+        return (i < cfg.max_iter) & jnp.any(alive(c))
+
+    _, final = lax.while_loop(cond, body, (jnp.int32(0), c0))
+    return _lbfgsb_result(final, cfg)
 
 
 def lbfgsb_minimize_scaled(

@@ -238,3 +238,24 @@ def test_api_lbfgsb_precond_diag():
     solver.minimize(oracle, jnp.asarray(rng.uniform(-2, 2, n)))
     assert float(solver.result.f) < 1e-10
     assert int(solver.result.iterations) <= 3
+
+
+def test_lbfgsb_lockstep_batch_matches_single():
+    # the lockstep batched driver (one global while over a vmapped step)
+    # must agree lane-for-lane with independent single solves — including
+    # per-lane iteration counts (frozen lanes stop counting)
+    from optimization_solvers_tpu.solvers import lbfgsb_batch_minimize
+
+    n = 10
+    lower = jnp.full(n, -2.0)
+    upper = jnp.full(n, 2.0)
+    oracle = make_oracle(problems.rosenbrock())
+    cfg = LbfgsbConfig(m=5, pgtol=1e-6, factr=10.0, max_iter=500)
+
+    x0s = jnp.stack([jnp.full(n, -1.2), jnp.zeros(n), jnp.full(n, 1.5)])
+    batched = lbfgsb_batch_minimize(oracle, x0s, lower, upper, cfg)
+    for i in range(x0s.shape[0]):
+        single = lbfgsb_minimize(oracle, x0s[i], lower, upper, cfg)
+        np.testing.assert_allclose(batched.x[i], single.x, atol=0)
+        assert batched.iterations[i] == single.iterations
+        assert batched.status[i] == single.status
