@@ -25,6 +25,7 @@ multi-chip harnesses and benchmarks can jit a single solver step directly.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -68,14 +69,13 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
     needs_h = bool(getattr(method, "needs_hessian", False))
 
     def _strip(ev: FuncEval) -> FuncEval:
-        # The dense Hessian NEVER rides the loop carry: an (n, n) buffer in
-        # the while-loop carry (and, transitively, every line-search trial
-        # step's carry) costs a full copy per step — measured 8x the actual
-        # eval+Cholesky work on the 1024-dim batched projected-Newton
-        # workload.  Hessian-consuming directions re-evaluate the oracle at
-        # the current iterate instead; XLA dead-code-eliminates the unused
-        # Hessian computation here and hoists loop-invariant Hessians out
-        # of the loop entirely.
+        # The dense Hessian never rides the loop carry: an (n, n) buffer in
+        # the while-loop carry is select-merged every iteration, and under
+        # ``vmap`` an unbatched (constant) Hessian would be broadcast to a
+        # (B, n, n) carried buffer.  Hessian-consuming directions
+        # re-evaluate the oracle at the current iterate instead; XLA
+        # dead-code-eliminates the unused Hessian computation here and
+        # hoists loop-invariant Hessians out of the loop.
         if ev.hessian is not None:
             return ev._replace(hessian=None)
         return ev
@@ -242,24 +242,27 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
         return None
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "line_search", "oracle", "max_iter",
+                     "max_iter_ls", "callback"),
+)
 def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
-                             kwargs) -> SolveResult:
+                             *, max_iter=1000, max_iter_ls=100,
+                             callback=None) -> SolveResult:
     """One global ``lax.while_loop`` over a vmapped step: the whole batch
-    advances in lockstep, converged lanes freeze via per-lane masks.
-
-    This is deliberately NOT ``vmap(minimize)``: vmapping a ``while_loop``
-    batches its predicate, and the resulting select-on-carry loop interacts
-    pathologically with batched factorizations on TPU — measured 2,025 ms
-    vs 66 ms for the identical batched projected-Newton iteration
-    (BENCH_NOTES round 2).  A single scalar-predicate loop whose body is a
-    vmapped step is the same dataflow the fused Pallas kernels use, and XLA
-    schedules it well.
+    advances in lockstep, converged lanes freeze via per-lane masks — the
+    same dataflow the fused Pallas kernels use.  Jitted here (static on the
+    frozen-dataclass configs and the oracle object) so the batched entry
+    point is compiled even when called eagerly: an eager call dispatches
+    every surrounding op through the device relay at ~10-30 ms each, which
+    measured 30-60x slower than the compiled loop on the 1024-dim batched
+    projected-Newton workload (BENCH_NOTES round 2).
     """
-    max_iter = kwargs.get("max_iter", 1000)
     init_fn, keep_going_fn, step_fn = make_step(
         method, line_search, oracle, bounds=bounds,
-        max_iter_ls=kwargs.get("max_iter_ls", 100),
-        callback=kwargs.get("callback"),
+        max_iter_ls=max_iter_ls,
+        callback=callback,
     )
     c0 = jax.vmap(init_fn)(x0)
     alive = jax.vmap(keep_going_fn)
@@ -328,8 +331,12 @@ def batch_minimize(
 
         return jax.vmap(solve_one, in_axes=(0, 0))(x0, bounds)
 
-    return _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
-                                    kwargs)
+    return _batch_minimize_lockstep(
+        method, line_search, oracle, x0, bounds,
+        max_iter=kwargs.get("max_iter", 1000),
+        max_iter_ls=kwargs.get("max_iter_ls", 100),
+        callback=kwargs.get("callback"),
+    )
 
 
 def make_solver(method, line_search, oracle, *, batched: bool = False, **kwargs):

@@ -469,11 +469,11 @@ def lbfgsb_batch_minimize(
     is the vmapped outer iteration, converged lanes frozen by per-lane
     masks.
 
-    Prefer this over ``vmap(lbfgsb_minimize)`` for batches: vmapping a
-    ``while_loop`` batches its predicate and the resulting select-on-carry
-    loop schedules pathologically on TPU (measured 30-50x slower on batched
-    second-order workloads — see solvers/driver.py
-    ``_batch_minimize_lockstep``, same design).
+    Prefer this over ``vmap(lbfgsb_minimize)`` for large batches: one
+    dispatch covers the whole batch with a single compile (no manual
+    chunking against the relay's dispatch cap) at throughput parity with
+    the chunked vmap path (264 vs 272 solves/s on the 10,240-lane
+    Rosenbrock-100 headline, BENCH_NOTES round 2).  Wrap in ``jax.jit``.
     """
     cfg = config
     init_fn, keep_going_fn, step_fn = make_lbfgsb_step(
