@@ -387,20 +387,24 @@ def bench_config3():
 
 
 def bench_config4():
-    """L-BFGS-B (m=10) on the bounded 10,000-dim log-sum-exp, 8-instance
+    """L-BFGS-B (m=10) on the bounded 10,000-dim log-sum-exp, 64-instance
     batch on one chip (the block-partitioned multi-host variant is
     `parallel.coordinate_sharded_lbfgsb_minimize`, exercised on the virtual
-    mesh in tests and by __graft_entry__.dryrun_multichip)."""
-    n, rows, B = 10_000 // SCALE, 512, 8
+    mesh in tests and by __graft_entry__.dryrun_multichip).  Throughput
+    scales sub-linearly in batch (lockstep stragglers): 39 solves/s at
+    B=8, 97 at B=64 (BENCH_NOTES round 2)."""
+    n, rows, B = 10_000 // SCALE, 512, 64
     key = jax.random.PRNGKey(0)
     A = (jax.random.normal(key, (rows, n)) / np.sqrt(n)).astype(DTYPE)
     b = jnp.linspace(-1.0, 1.0, rows).astype(DTYPE)
     oracle = make_oracle(problems.log_sum_exp(A, b))
     lower = jnp.full((n,), -1.0, DTYPE)
     upper = jnp.full((n,), 1.0, DTYPE)
+    from optimization_solvers_tpu.solvers.lbfgsb import lbfgsb_batch_minimize
+
     cfg = LbfgsbConfig(m=10, pgtol=1e-5, factr=1e3, max_iter=200)
-    solve = jax.jit(jax.vmap(
-        lambda x0: lbfgsb_minimize(oracle, x0, lower, upper, cfg)))
+    solve = jax.jit(
+        lambda x0: lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg))
 
     rng = np.random.RandomState(4)
     inputs = [jnp.asarray(rng.uniform(-0.5, 0.5, (B, n)), DTYPE)
@@ -411,13 +415,13 @@ def bench_config4():
                               np.asarray(b, np.float64))
     sps = B / dt
     return {
-        "metric": "config4_lbfgsb_lse10k_batch8",
+        "metric": "config4_lbfgsb_lse10k_batch64",
         "value": round(sps, 2), "unit": "solves/s",
         "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
         "baseline_cpu_solves_per_sec": round(cpu, 4),
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
         "median_iterations": float(np.median(np.asarray(r.iterations))),
-        "path": "general_api_vmapped_xla",
+        "path": "general_api_lockstep_xla",
     }
 
 
@@ -507,7 +511,7 @@ def bench_config5():
         "baseline_cpu_solves_per_sec": round(cpu, 2),
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
         "median_iterations": med_it,
-        "path": "general_api_vmapped_xla",
+        "path": "general_api_lockstep_xla",
     }
 
 
