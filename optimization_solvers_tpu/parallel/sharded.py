@@ -82,8 +82,10 @@ def sharded_lbfgsb_minimize(
     axis: str = "dp",
 ) -> SolveResult:
     """Data-parallel L-BFGS-B over the mesh (the BASELINE.json headline
-    workload at multi-chip scale)."""
-    from optimization_solvers_tpu.solvers.lbfgsb import lbfgsb_minimize
+    workload at multi-chip scale).  Each device runs the lockstep batched
+    loop over its local shard — within-shard lanes advance together,
+    shards finish independently (no cross-device lockstep)."""
+    from optimization_solvers_tpu.solvers.lbfgsb import lbfgsb_batch_minimize
 
     @functools.partial(
         shard_map,
@@ -93,9 +95,7 @@ def sharded_lbfgsb_minimize(
         check_vma=False,
     )
     def solve_shard(x0_local, lo, up):
-        return jax.vmap(
-            lambda x: lbfgsb_minimize(oracle, x, lo, up, config)
-        )(x0_local)
+        return lbfgsb_batch_minimize(oracle, x0_local, lo, up, config)
 
     x0 = jax.device_put(x0, NamedSharding(mesh, P(axis, None)))
     return jax.jit(solve_shard)(x0, lower, upper)
