@@ -88,6 +88,16 @@ def make_oracle(
     # the kernel and pass ``data`` as consts operands
     oracle.raw_f = f
     oracle.data = data
+
+    # Hessian-vector products via forward-over-reverse (~2 gradient
+    # evaluations, no (n, n) storage) — the matrix-free second-order seam
+    # used by the truncated Newton-CG solver
+    _g = jax.grad(f_x)
+
+    def hvp(x: jax.Array, v: jax.Array) -> jax.Array:
+        return jax.jvp(_g, (x,), (v,))[1]
+
+    oracle.hvp = hvp
     return oracle
 
 

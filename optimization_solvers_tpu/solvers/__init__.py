@@ -40,6 +40,12 @@ from optimization_solvers_tpu.solvers.implicit import (
 )
 from optimization_solvers_tpu.solvers.lbfgs import LBFGS, LbfgsState
 from optimization_solvers_tpu.solvers.nonlinear_cg import NonlinearCG
+from optimization_solvers_tpu.solvers.newton_cg import (
+    NewtonCGConfig,
+    make_newton_cg_step,
+    newton_cg_batch_minimize,
+    newton_cg_minimize,
+)
 from optimization_solvers_tpu.solvers.lbfgsb import (
     LbfgsbConfig,
     lbfgsb_batch_minimize,
@@ -78,6 +84,10 @@ __all__ = [
     "make_implicit_solver",
     "make_implicit_solver_bounded",
     "NonlinearCG",
+    "NewtonCGConfig",
+    "make_newton_cg_step",
+    "newton_cg_batch_minimize",
+    "newton_cg_minimize",
     "LbfgsState",
     "LbfgsbConfig",
     "lbfgsb_batch_minimize",

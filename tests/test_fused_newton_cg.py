@@ -80,3 +80,50 @@ def test_newton_cg_matches_lbfgsb():
     assert int((res.status == Status.CONVERGED).sum()) == 8
     np.testing.assert_allclose(np.asarray(res.f), np.asarray(ref.f),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_newton_cg_xla_solver_matches_fused_kernel():
+    # the flexible XLA solver and the fused kernel implement the SAME
+    # algorithm (two-metric projection, Steihaug CG, Eisenstat-Walker,
+    # projected Armijo) — cross-check final objectives lane-for-lane
+    from optimization_solvers_tpu.core.oracle import make_oracle
+    from optimization_solvers_tpu.solvers import (
+        NewtonCGConfig, newton_cg_batch_minimize)
+
+    f = problems.rosenbrock()
+    n = 12
+    lower = jnp.full(n, -2.0)
+    upper = jnp.full(n, 0.5)
+    x0 = jnp.asarray(np.random.RandomState(7).uniform(-2, 0.5, (8, n)))
+    fused = newton_cg_solve_fused(
+        f, x0, lower, upper, pgtol=1e-7, factr=0.0, max_iter=300,
+        cg_max=40, max_iter_ls=25, tile=8, interpret=True)
+    cfg = NewtonCGConfig(pgtol=1e-7, factr=0.0, max_iter=300, cg_max=40,
+                         max_iter_ls=25)
+    xla = newton_cg_batch_minimize(make_oracle(f), x0, lower, upper, cfg)
+    assert int((xla.status == Status.CONVERGED).sum()) == 8
+    np.testing.assert_allclose(np.asarray(xla.f), np.asarray(fused.f),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_newton_cg_xla_single_matches_batch():
+    from optimization_solvers_tpu.core.oracle import make_oracle
+    from optimization_solvers_tpu.solvers import (
+        NewtonCGConfig, newton_cg_batch_minimize, newton_cg_minimize)
+    import jax
+
+    f = problems.rosenbrock()
+    n = 8
+    lower = jnp.full(n, -2.0)
+    upper = jnp.full(n, 2.0)
+    oracle = make_oracle(f)
+    cfg = NewtonCGConfig(pgtol=1e-8, factr=0.0, max_iter=200)
+    x0s = jnp.asarray(np.random.RandomState(8).uniform(-2, 2, (4, n)))
+    batched = newton_cg_batch_minimize(oracle, x0s, lower, upper, cfg)
+    for i in range(4):
+        single = jax.jit(
+            lambda x: newton_cg_minimize(oracle, x, lower, upper, cfg)
+        )(x0s[i])
+        np.testing.assert_allclose(np.asarray(batched.x[i]),
+                                   np.asarray(single.x), atol=0)
+        assert batched.iterations[i] == single.iterations
