@@ -237,7 +237,7 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
         )
     except ValueError:
         # e.g. the objective closes over arrays ("captures constants") —
-        # remember and take the flexible vmapped path from now on
+        # remember and take the lockstep XLA path from now on
         _FUSED_UNSUPPORTED.add(key)
         return None
 
