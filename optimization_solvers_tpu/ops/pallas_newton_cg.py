@@ -65,7 +65,9 @@ def _batched_hvp(f: Callable):
 
 def _make_kernel(f, n_consts, n, T, pgtol, factr, max_iter, cg_max,
                  max_iter_ls, c1, dtype):
-    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+    # must match the XLA twin (solvers/newton_cg.py) exactly: both sides
+    # gate Steihaug curvature and the factr stall test on finfo(dtype).eps
+    eps_mach = float(jnp.finfo(dtype).eps)
     f_rtol = factr * eps_mach
     inf = float("inf")
 
@@ -287,7 +289,7 @@ def newton_cg_solve_fused(
 ) -> SolveResult:
     """Batched box-constrained truncated Newton-CG with the fused kernel.
 
-    ``B`` must be a multiple of ``tile``.  ``cg_max`` bounds the inner CG
+    ``B`` is padded up to a multiple of ``tile`` internally.  ``cg_max`` bounds the inner CG
     iterations per Newton step (each costs one Hessian-vector product,
     ~2 gradient evaluations).
     """
@@ -295,11 +297,16 @@ def newton_cg_solve_fused(
     from jax.experimental.pallas import tpu as pltpu
 
     B, n = x0.shape
-    assert B % tile == 0, f"batch {B} not a multiple of tile {tile}"
     dtype = x0.dtype
+    # pad the batch up to a tile multiple (same contract as fused_minimize:
+    # any B is accepted; pad lanes replicate lane 0 and are dropped below)
+    pad = (-B) % tile
+    if pad:
+        x0 = jnp.concatenate([x0, jnp.broadcast_to(x0[:1], (pad, n))], axis=0)
+    Bp = B + pad
     T = tile
 
-    xT = x0.T.reshape(1, n, B)
+    xT = x0.T.reshape(1, n, Bp)
     loT = jnp.broadcast_to(lower.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
     upT = jnp.broadcast_to(upper.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
 
@@ -328,12 +335,12 @@ def newton_cg_solve_fused(
     x_out, f_out, it_out, st_out = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((1, n, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, n, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         ),
-        grid=(B // T,),
+        grid=(Bp // T,),
         in_specs=[
             pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
                          memory_space=pltpu.VMEM),
@@ -363,7 +370,8 @@ def newton_cg_solve_fused(
         ),
     )(xT, loT, upT, *consts)
 
-    x_final = x_out[0].T
+    x_final = x_out[0].T[:B]
     f_host = (lambda x: f(x, *consts)) if consts else f
     _, g_final = jax.vmap(jax.value_and_grad(f_host))(x_final)
-    return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])
+    return SolveResult(x_final, f_out[0][:B], g_final, it_out[0][:B],
+                       st_out[0][:B])

@@ -49,8 +49,9 @@ def sharded_batch_minimize(
     **kwargs,
 ) -> SolveResult:
     """Solve a (B, n) batch sharded over ``axis`` of ``mesh``; each device
-    runs its local shard's vmapped while-loops to completion independently.
-    ``bounds`` (if given) are replicated."""
+    runs the lockstep batched loop over its local shard to completion
+    independently (within-shard lanes advance together; no cross-device
+    lockstep).  ``bounds`` (if given) are replicated."""
 
     bounds_spec = (P(None), P(None)) if bounds is not None else None
 

@@ -242,28 +242,15 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
         return None
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("method", "line_search", "oracle", "max_iter",
-                     "max_iter_ls", "callback"),
-)
-def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
-                             *, max_iter=1000, max_iter_ls=100,
-                             callback=None) -> SolveResult:
-    """One global ``lax.while_loop`` over a vmapped step: the whole batch
-    advances in lockstep, converged lanes freeze via per-lane masks — the
-    same dataflow the fused Pallas kernels use.  Jitted here (static on the
-    frozen-dataclass configs and the oracle object) so the batched entry
-    point is compiled even when called eagerly: an eager call dispatches
-    every surrounding op through the device relay at ~10-30 ms each, which
-    measured 30-60x slower than the compiled loop on the 1024-dim batched
-    projected-Newton workload (BENCH_NOTES round 2).
+def lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter: int):
+    """Run a solver loop over a leading batch axis in LOCKSTEP: one global
+    ``lax.while_loop`` whose body is the vmapped ``step_fn``, with lanes
+    whose ``keep_going_fn`` went false frozen via per-lane masks — the same
+    dataflow the fused Pallas kernels use.  Returns the final batched
+    carry.  Shared scaffold for :func:`batch_minimize`,
+    :func:`solvers.lbfgsb.lbfgsb_batch_minimize`, and
+    :func:`solvers.newton_cg.newton_cg_batch_minimize`.
     """
-    init_fn, keep_going_fn, step_fn = make_step(
-        method, line_search, oracle, bounds=bounds,
-        max_iter_ls=max_iter_ls,
-        callback=callback,
-    )
     c0 = jax.vmap(init_fn)(x0)
     alive = jax.vmap(keep_going_fn)
 
@@ -283,6 +270,30 @@ def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
         return (i < max_iter) & jnp.any(alive(c))
 
     _, final = lax.while_loop(cond, body, (jnp.int32(0), c0))
+    return final
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "line_search", "oracle", "max_iter",
+                     "max_iter_ls", "callback"),
+)
+def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
+                             *, max_iter=1000, max_iter_ls=100,
+                             callback=None) -> SolveResult:
+    """Lockstep batched general driver.  Jitted here (static on the
+    frozen-dataclass configs and the oracle object) so the batched entry
+    point is compiled even when called eagerly: an eager call dispatches
+    every surrounding op through the device relay at ~10-30 ms each, which
+    measured 30-60x slower than the compiled loop on the 1024-dim batched
+    projected-Newton workload (BENCH_NOTES round 2).
+    """
+    init_fn, keep_going_fn, step_fn = make_step(
+        method, line_search, oracle, bounds=bounds,
+        max_iter_ls=max_iter_ls,
+        callback=callback,
+    )
+    final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter)
     return jax.vmap(lambda c: _result(c, max_iter))(final)
 
 
@@ -331,6 +342,11 @@ def batch_minimize(
 
         return jax.vmap(solve_one, in_axes=(0, 0))(x0, bounds)
 
+    unknown = set(kwargs) - {"max_iter", "max_iter_ls", "callback"}
+    if unknown:
+        raise TypeError(
+            f"batch_minimize got unexpected keyword argument(s) "
+            f"{sorted(unknown)}")
     return _batch_minimize_lockstep(
         method, line_search, oracle, x0, bounds,
         max_iter=kwargs.get("max_iter", 1000),

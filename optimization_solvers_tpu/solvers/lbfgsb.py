@@ -475,28 +475,12 @@ def lbfgsb_batch_minimize(
     the chunked vmap path (264 vs 272 solves/s on the 10,240-lane
     Rosenbrock-100 headline, BENCH_NOTES round 2).  Wrap in ``jax.jit``.
     """
+    from optimization_solvers_tpu.solvers.driver import lockstep_loop
+
     cfg = config
     init_fn, keep_going_fn, step_fn = make_lbfgsb_step(
         oracle, lower, upper, cfg)
-    c0 = jax.vmap(init_fn)(x0)
-    alive = jax.vmap(keep_going_fn)
-
-    def merge(active, nw, od):
-        return jnp.where(
-            active.reshape(active.shape + (1,) * (nw.ndim - 1)), nw, od)
-
-    def body(s):
-        i, c = s
-        active = alive(c)
-        stepped = jax.vmap(step_fn)(c)
-        c = jax.tree.map(lambda nw, od: merge(active, nw, od), stepped, c)
-        return (i + 1, c)
-
-    def cond(s):
-        i, c = s
-        return (i < cfg.max_iter) & jnp.any(alive(c))
-
-    _, final = lax.while_loop(cond, body, (jnp.int32(0), c0))
+    final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, cfg.max_iter)
     return _lbfgsb_result(final, cfg)
 
 

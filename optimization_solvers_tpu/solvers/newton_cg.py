@@ -58,9 +58,10 @@ class _Carry(NamedTuple):
 
 def make_newton_cg_step(oracle, lower, upper,
                         config: NewtonCGConfig = NewtonCGConfig()):
-    """Build ``(init_fn, keep_going_fn, step_fn)`` for the Newton-CG loop
-    (the :func:`solvers.driver.make_step` seam shape, so checkpoints and
-    the lockstep batcher apply unchanged)."""
+    """Build ``(init_fn, keep_going_fn, step_fn, result_fn)`` for the
+    Newton-CG loop (the :func:`solvers.driver.make_step` seam shape plus a
+    result finalizer, so checkpoints and the lockstep batcher apply
+    unchanged)."""
     oracle = ensure_oracle(oracle)
     hvp = getattr(oracle, "hvp", None)
     if hvp is None:
@@ -172,22 +173,26 @@ def make_newton_cg_step(oracle, lower, upper,
         x_new = jnp.where(ok, x_new, c.x)
         f_new = jnp.where(ok, ev.f, c.f)
         g_new = jnp.where(ok, ev.g, c.g)
-        return _Carry(x_new, f_new, g_new, c.f, c.k + 1)
+        # f_prev advances only on ACCEPTED steps (the fused kernel's
+        # ``Fprev = where(upd, Fv, Fprev)``): a rejected nonfinite trial
+        # must not arm the factr stall test with f_prev == f
+        f_prev = jnp.where(ok, c.f, c.f_prev)
+        return _Carry(x_new, f_new, g_new, f_prev, c.k + 1)
 
-    return init_fn, keep_going_fn, step_fn
-
-
-def _ncg_result(final: _Carry, cfg: NewtonCGConfig) -> SolveResult:
-    status = jnp.where(
-        final.k >= cfg.max_iter,
-        jnp.int32(Status.MAX_ITER_REACHED),
-        jnp.where(
-            ~jnp.isfinite(final.f),
-            jnp.int32(Status.OUT_OF_DOMAIN),
+    def result_fn(final: _Carry) -> SolveResult:
+        # the fused kernel's exit semantics (pallas_newton_cg.py tail):
+        # recompute convergence on the final state, so a lane that lands
+        # converged exactly at the budget reports CONVERGED
+        finite = jnp.isfinite(final.f)
+        status = jnp.where(
+            converged(final) & finite,
             jnp.int32(Status.CONVERGED),
-        ),
-    )
-    return SolveResult(final.x, final.f, final.g, final.k, status)
+            jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
+                      jnp.int32(Status.MAX_ITER_REACHED)),
+        )
+        return SolveResult(final.x, final.f, final.g, final.k, status)
+
+    return init_fn, keep_going_fn, step_fn, result_fn
 
 
 def newton_cg_minimize(
@@ -200,14 +205,14 @@ def newton_cg_minimize(
     """Minimize with box-constrained truncated Newton-CG; single instance
     (wrap in ``jax.jit``).  Matrix-free: scales to large ``n``."""
     cfg = config
-    init_fn, keep_going_fn, step_fn = make_newton_cg_step(
+    init_fn, keep_going_fn, step_fn, result_fn = make_newton_cg_step(
         oracle, lower, upper, cfg)
 
     def cond(c: _Carry):
         return (c.k < cfg.max_iter) & keep_going_fn(c)
 
     final = lax.while_loop(cond, step_fn, init_fn(x0))
-    return _ncg_result(final, cfg)
+    return result_fn(final)
 
 
 @functools.partial(jax.jit, static_argnames=("oracle", "config"))
@@ -223,26 +228,10 @@ def newton_cg_batch_minimize(
     On TPU prefer the fused kernel
     (:func:`ops.pallas_newton_cg.newton_cg_solve_fused`) for small/medium
     ``n``; this path has no VMEM ceiling."""
+    from optimization_solvers_tpu.solvers.driver import lockstep_loop
+
     cfg = config
-    init_fn, keep_going_fn, step_fn = make_newton_cg_step(
+    init_fn, keep_going_fn, step_fn, result_fn = make_newton_cg_step(
         oracle, lower, upper, cfg)
-    c0 = jax.vmap(init_fn)(x0)
-    alive = jax.vmap(keep_going_fn)
-
-    def merge(active, nw, od):
-        return jnp.where(
-            active.reshape(active.shape + (1,) * (nw.ndim - 1)), nw, od)
-
-    def body(s):
-        i, c = s
-        active = alive(c)
-        stepped = jax.vmap(step_fn)(c)
-        c = jax.tree.map(lambda nw, od: merge(active, nw, od), stepped, c)
-        return (i + 1, c)
-
-    def cond(s):
-        i, c = s
-        return (i < cfg.max_iter) & jnp.any(alive(c))
-
-    _, final = lax.while_loop(cond, body, (jnp.int32(0), c0))
-    return _ncg_result(final, cfg)
+    final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, cfg.max_iter)
+    return jax.vmap(result_fn)(final)
