@@ -66,7 +66,19 @@ def _update_interval(f_tl, f_t, g_t, tl, t, tu):
 
 @dataclasses.dataclass(frozen=True)
 class MoreThuente(LineSearch):
-    """Strong-Wolfe search; defaults per ``morethuente.rs:16-28``."""
+    """Strong-Wolfe search; defaults per ``morethuente.rs:16-28``.
+
+    **Documented deviation (default ``reference_quirks=False``)**: the
+    reference applies the interval update with the NEXT trial ``t`` instead
+    of the just-evaluated one (``morethuente.rs:293``).  After a case-1
+    interpolation that sets ``tu := t_next``, the following iteration exits
+    on ``t == tu`` WITHOUT the Wolfe conditions holding — on hard problems
+    (e.g. Rosenbrock-100) the search then returns a step that increases
+    ``f`` by orders of magnitude and the solve diverges.  The correct
+    Moré-Thuente update (interval revised at the *evaluated* ``t``,
+    MT 1994 §2 updating algorithm) is the default; set
+    ``reference_quirks=True`` for bug-for-bug reference parity.
+    """
 
     c1: float = 1e-4
     c2: float = 0.9
@@ -75,6 +87,7 @@ class MoreThuente(LineSearch):
     delta_min: float = 0.58333333
     delta: float = 0.66
     delta_max: float = 1.1
+    reference_quirks: bool = False
 
     def __post_init__(self):
         assert 0.0 < self.c1 < self.c2 < 1.0, "require 0 < c1 < c2 < 1"
@@ -167,8 +180,13 @@ class MoreThuente(LineSearch):
             # clamp with Rust NaN-collapsing semantics (morethuente.rs:290)
             t_new = rust_clamp(t_new, t_min, t_max)
 
-            # interval update applied with NEW t, OLD values (morethuente.rs:293)
-            tl_new, tu_new, conv_new = _update_interval(f_l, f_c, g_c, tl, t_new, tu)
+            # interval update: the values (f_l, f_c, g_c) belong to the
+            # EVALUATED t, so the correct MT updating algorithm revises the
+            # interval at t; the reference instead passes the NEXT trial
+            # (morethuente.rs:293) — kept behind reference_quirks (see class
+            # docstring for the failure mode)
+            t_upd = t_new if self.reference_quirks else t
+            tl_new, tu_new, conv_new = _update_interval(f_l, f_c, g_c, tl, t_upd, tu)
 
             keep = finish
             return (

@@ -196,3 +196,29 @@ def test_hager_zhang_b_unconstrained_when_box_far():
     t_b, _ = ls.HagerZhangB().step_len(oracle, x, ev, -ev.g, None, bounds, 50)
     t_u, _ = ls.HagerZhang().step_len(oracle, x, ev, -ev.g, None, None, 50)
     np.testing.assert_allclose(float(t_b), float(t_u), rtol=1e-12)
+
+
+def test_morethuente_never_accepts_divergent_step_rosenbrock():
+    # regression for the reference interval-update quirk
+    # (morethuente.rs:293): with the NEXT-trial update, a case-1 step sets
+    # tu := t_next and the following iteration exits on t == tu without
+    # Wolfe holding — on Rosenbrock-100 the returned step INCREASES f by
+    # ~10 orders of magnitude and BFGS diverges to ~1e100.  The corrected
+    # default updates the interval at the evaluated t and must keep every
+    # accepted step non-increasing in f (non-monotonicity is not part of
+    # Moré-Thuente).
+    from optimization_solvers_tpu import solvers
+
+    oracle = make_oracle(problems.rosenbrock())
+    x0 = jnp.asarray(np.random.RandomState(42).uniform(-2, 2, 100))
+    res = solvers.minimize(
+        solvers.BFGS(tol=2e-4), ls.MoreThuente(), oracle, x0,
+        max_iter=1500, max_iter_ls=40)
+    # lands at a true stationary point, not a blow-up
+    assert float(res.f) < 1e-2, float(res.f)
+
+    # the quirk-parity mode still exists for reference comparison
+    quirk = solvers.minimize(
+        solvers.BFGS(tol=2e-4), ls.MoreThuente(reference_quirks=True),
+        oracle, x0, max_iter=1500, max_iter_ls=40)
+    assert float(quirk.f) > 1e6  # reproduces the reference failure mode
