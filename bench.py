@@ -247,9 +247,8 @@ def bench_config1():
 def bench_config2():
     """Dense BFGS + More-Thuente (the spec's pairing, BASELINE.json config
     2) on Rosenbrock-100, 1k random starts, through the general API with
-    the robustness knobs on.  MT has no fused form, so this rides the
-    lockstep XLA path; the BackTracking pairing fuses and runs ~5x faster
-    (12.3k solves/s, BENCH_NOTES round 2).  Reports the strict-tolerance
+    the robustness knobs on; fused='auto' routes to the generic kernel
+    with the fused Moré-Thuente search spec.  Reports the strict-tolerance
     stationary fraction (VERDICT round-1 item 3: target >=95%)."""
     from optimization_solvers_tpu import linesearch as ls, solvers
 
@@ -283,7 +282,7 @@ def bench_config2():
         "stationary_fraction": float(stationary.mean()),
         "median_final_f": float(np.median(f_vals)),
         "median_iterations": float(np.median(np.asarray(r.iterations))),
-        "path": "general_api_lockstep_xla_morethuente",
+        "path": "general_api_fused_auto_morethuente",
     }
 
 

@@ -22,7 +22,9 @@ Supported methods (reference files in ``src/steepest_descent/`` and
   Hessians and an in-kernel lane-parallel masked Cholesky.
 Supported searches (``src/line_search/``): BackTracking, BackTrackingB,
   GLLQuadratic (with the safeguarded quadratic interpolation trial update,
-  ``gll_quadratic.rs:78-93``), NoSearch.
+  ``gll_quadratic.rs:78-93``), MoreThuente / MoreThuenteB (strong Wolfe;
+  corrected interval update — ``reference_quirks=True`` falls back to the
+  XLA path), NoSearch.
 
 Mosaic structure follows :mod:`pallas_lbfgs` (learned the hard way, see its
 docstring): scalar-only loop carries, all evolving state in VMEM scratch
@@ -897,6 +899,167 @@ class _GLLSpec:
         return ls_t[...]
 
 
+class _MTSpec:
+    """Moré-Thuente strong-Wolfe search as a fused tile spec — the same
+    masked scalar dataflow as ``linesearch/morethuente.py`` with per-lane
+    scalars on (1, T) rows (corrected interval update only; a
+    ``reference_quirks=True`` search falls back to the XLA path).  Needs
+    trial-point GRADIENTS, so it evaluates through ``ctx.bvg`` (two evals
+    per trial at t and tl, plus one at tu — lockstep lanes pay the case-4
+    eval unconditionally, exactly like the vmapped ``lax.cond``->select).
+
+    Bounded variant (``morethuente_b.rs:185-205``): ``t_max`` capped at the
+    per-coordinate max feasible step, kept as a running minimum across
+    line-search calls within the solve (persistent scratch row)."""
+
+    def __init__(self, search, bounded: bool):
+        self.c1 = float(search.c1)
+        self.c2 = float(search.c2)
+        self.t_min0 = float(search.t_min)
+        self.t_max0 = float(search.t_max)
+        self.delta = float(search.delta)
+        self.bounded = bounded
+
+    def scratch(self, n, T, dtype):
+        # rows: 0=t 1=tl 2=tu 3=modified 4=int_conv 5=done 6=t_min 7=t_max
+        slots = [((8, T), dtype)]
+        if self.bounded:
+            slots.append(((1, T), dtype))   # running t_max across calls
+        return slots
+
+    def init(self, st, Fv, ctx):
+        if self.bounded:
+            st[1][...] = jnp.full((1, ctx.T), self.t_max0, ctx.dtype)
+
+    def run(self, st, X, G, Fv, d, active, bval, max_iter_ls, ctx):
+        from optimization_solvers_tpu.core.numerics import (
+            rust_clamp, rust_max, rust_min)
+        from optimization_solvers_tpu.linesearch.base import strong_wolfe
+        from optimization_solvers_tpu.linesearch.morethuente import (
+            _cubic_minimizer, _quadratic_minimizer_1, _quadratic_minimizer_2,
+            _update_interval)
+
+        mt = st[0]
+        dtype, T = ctx.dtype, ctx.T
+        c1 = jnp.asarray(self.c1, dtype)
+        c2 = jnp.asarray(self.c2, dtype)
+        delta = jnp.asarray(self.delta, dtype)
+
+        t_min = jnp.full((1, T), self.t_min0, dtype)
+        if self.bounded:
+            run_tmax = st[1]
+            pos = (ctx.up - X) / d
+            neg = (ctx.lo - X) / d
+            terms = jnp.where(d > 0.0, pos,
+                              jnp.where(d < 0.0, neg, jnp.inf))
+            terms = jnp.where(jnp.isnan(terms), jnp.inf, terms)
+            cap = -ctx.max(-terms)          # min over the coordinate axis
+            run_tmax[...] = jnp.minimum(run_tmax[...], cap)
+            t_max = run_tmax[...]
+        else:
+            t_max = jnp.full((1, T), self.t_max0, dtype)
+
+        f0 = Fv
+        g0d = ctx.sum(G * d)
+
+        mt[0] = rust_min(rust_max(jnp.ones((1, T), dtype), t_min), t_max)[0]
+        mt[1] = t_min[0]
+        mt[2] = t_max[0]
+        mt[3] = jnp.zeros((T,), dtype)
+        mt[4] = jnp.zeros((T,), dtype)
+        mt[5] = (~active)[0].astype(dtype)
+        mt[6] = t_min[0]
+        mt[7] = t_max[0]
+
+        def phi(t):
+            f_t, g_t = ctx.bvg(X + t * d)
+            return f_t, ctx.sum(g_t * d)
+
+        def psi_of(phi_f, phi_g, t):
+            return phi_f - f0 - c1 * t * g0d, phi_g - c1 * g0d
+
+        def cond(s):
+            i, n_go = s
+            return (i < max_iter_ls) & (n_go > 0)
+
+        def body(s):
+            i, _ = s
+            t = mt[0][None, :]
+            tl = mt[1][None, :]
+            tu = mt[2][None, :]
+            modified = mt[3][None, :] > 0
+            int_conv = mt[4][None, :] > 0
+            done = mt[5][None, :] > 0
+
+            phi_t_f, phi_t_g = phi(t)
+            swc = strong_wolfe(c1, c2, f0, phi_t_f, g0d, phi_t_g, t)
+            finish = swc | int_conv | (t == tl) | (t == tu)
+
+            psi_t_f, psi_t_g = psi_of(phi_t_f, phi_t_g, t)
+            modified = modified | ((psi_t_f <= 0.0) & (phi_t_g > 0.0))
+
+            phi_tl_f, phi_tl_g = phi(tl)
+            psi_tl_f, psi_tl_g = psi_of(phi_tl_f, phi_tl_g, tl)
+
+            f_l = jnp.where(modified, phi_tl_f, psi_tl_f)
+            g_l = jnp.where(modified, phi_tl_g, psi_tl_g)
+            f_c = jnp.where(modified, phi_t_f, psi_t_f)
+            g_c = jnp.where(modified, phi_t_g, psi_t_g)
+
+            case1 = f_c > f_l
+            case2 = (~case1) & (g_c * g_l < 0.0)
+            case3 = (~case1) & (~case2) & (jnp.abs(g_c) <= jnp.abs(g_l))
+            case4 = ~(case1 | case2 | case3)
+
+            tc = _cubic_minimizer(tl, t, f_l, f_c, g_l, g_c)
+            tq = _quadratic_minimizer_1(tl, t, f_l, f_c, g_l)
+            ts = _quadratic_minimizer_2(tl, t, g_l, g_c)
+
+            t1 = jnp.where(jnp.abs(tc - tl) < jnp.abs(tq - tl), tc,
+                           0.5 * (tq + tc))
+            t2 = jnp.where(jnp.abs(tc - t) >= jnp.abs(ts - t), tc, ts)
+            t_plus = jnp.where(jnp.abs(tc - t) < jnp.abs(ts - t), tc, ts)
+            t3 = jnp.where(
+                t > tl,
+                rust_min(t_plus, t + delta * (tu - t)),
+                rust_max(t_plus, t + delta * (tu - t)),
+            )
+
+            # case-4 extra eval at tu, lockstep (all lanes pay it)
+            phi_tu_f, phi_tu_g = phi(tu)
+            psi_tu_f, psi_tu_g = psi_of(phi_tu_f, phi_tu_g, tu)
+            f_u = jnp.where(modified, phi_tu_f, psi_tu_f)
+            g_u = jnp.where(modified, phi_tu_g, psi_tu_g)
+            t4 = _cubic_minimizer(tu, t, f_c, f_u, g_c, g_u)
+            t4 = jnp.where(case4 & ~finish, t4, t)
+
+            t_new = jnp.where(case1, t1,
+                              jnp.where(case2, t2,
+                                        jnp.where(case3, t3, t4)))
+            t_new = rust_clamp(t_new, mt[6][None, :], mt[7][None, :])
+
+            # corrected MT: interval revised at the EVALUATED t
+            tl_new, tu_new, conv_new = _update_interval(
+                f_l, f_c, g_c, tl, t, tu)
+
+            keep = finish | done
+            mt[0] = jnp.where(keep, t, t_new)[0]
+            mt[1] = jnp.where(keep, tl, tl_new)[0]
+            mt[2] = jnp.where(keep, tu, tu_new)[0]
+            mt[3] = modified[0].astype(dtype)
+            # Mosaic cannot lower a select over i1 vectors (i8->i1 trunc);
+            # select between float 0/1 encodings instead
+            mt[4] = jnp.where(keep, int_conv.astype(dtype),
+                              conv_new.astype(dtype))[0]
+            mt[5] = (done | finish)[0].astype(dtype)
+            n_go = jnp.sum((mt[5] == 0.0).astype(jnp.int32),
+                           dtype=jnp.int32)
+            return (i + 1, n_go)
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+        return mt[0][None, :]
+
+
 # ---------------------------------------------------------------------------
 # Spec dispatch
 # ---------------------------------------------------------------------------
@@ -943,6 +1106,14 @@ def _build_specs(method, line_search):
         lspec = _BTSpec(line_search, bounded=False)
     elif isinstance(line_search, ls.GLLQuadratic):
         lspec = _GLLSpec(line_search)
+    elif isinstance(line_search, ls.MoreThuenteB):
+        if line_search.reference_quirks:
+            return None   # bug-for-bug mode stays on the XLA path
+        lspec = _MTSpec(line_search, bounded=True)
+    elif isinstance(line_search, ls.MoreThuente):
+        if line_search.reference_quirks:
+            return None
+        lspec = _MTSpec(line_search, bounded=False)
     elif isinstance(line_search, ls.NoSearch):
         lspec = _NoSearchSpec()
     else:
@@ -993,6 +1164,8 @@ def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
                    up_ref[0] if bounded else None,
                    safe_reduce=(n_consts + n_mconsts) > 0)
         ctx.method_consts = [r[...] for r in mconst_refs]
+        ctx.bvg = bvg   # (n, T) -> ((1, T), (n, T)); Wolfe-family searches
+                        # need trial-point gradients, not just values
         if getattr(mspec, "needs_hessian", False):
             ctx.bhess = _batched_hessian(f_local)
 

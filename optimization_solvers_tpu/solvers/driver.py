@@ -235,9 +235,11 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
             max_iter=kwargs.get("max_iter", 1000),
             max_iter_ls=kwargs.get("max_iter_ls", 100),
         )
-    except ValueError:
-        # e.g. the objective closes over arrays ("captures constants") —
-        # remember and take the lockstep XLA path from now on
+    except (ValueError, RuntimeError):
+        # ValueError: e.g. the objective closes over arrays ("captures
+        # constants"); RuntimeError covers JaxRuntimeError/MosaicError when
+        # the kernel fails to COMPILE on the actual hardware — remember and
+        # take the lockstep XLA path from now on
         _FUSED_UNSUPPORTED.add(key)
         return None
 

@@ -41,6 +41,9 @@ COMBOS = [
     (solvers.NonlinearCG(grad_tol=1e-6, variant="pr+"), ls.BackTracking(), False),
     (solvers.NonlinearCG(grad_tol=1e-6, variant="dy"), ls.BackTracking(), False),
     (solvers.BFGS(tol=1e-8), ls.BackTracking(), False),
+    (solvers.BFGS(tol=1e-8), ls.MoreThuente(), False),
+    (solvers.GradientDescent(grad_tol=1e-6), ls.MoreThuente(), False),
+    (solvers.BFGSB(tol=1e-8), ls.MoreThuenteB(), True),
     (solvers.DFP(tol=1e-8), ls.BackTracking(), False),
     (solvers.Broyden(tol=1e-8), ls.BackTracking(), False),
     (solvers.BFGSB(tol=1e-8), ls.BackTrackingB(), True),
@@ -174,8 +177,11 @@ def test_padding_to_tile():
 def test_fused_supported_combos():
     assert fused_supported(solvers.GradientDescent(), ls.BackTracking())
     assert fused_supported(solvers.NonlinearCG(), ls.GLLQuadratic())
-    # MoreThuente has no fused form
-    assert not fused_supported(solvers.GradientDescent(), ls.MoreThuente())
+    # MoreThuente fuses (corrected update); quirk-parity mode does not
+    assert fused_supported(solvers.GradientDescent(), ls.MoreThuente())
+    assert not fused_supported(
+        solvers.GradientDescent(), ls.MoreThuente(reference_quirks=True))
+    assert fused_supported(solvers.BFGSB(), ls.MoreThuenteB())
     # BackTrackingB needs a bounded method
     assert not fused_supported(solvers.GradientDescent(), ls.BackTrackingB())
     # dense QN family (incl. bounded) is covered
@@ -186,7 +192,8 @@ def test_fused_supported_combos():
 def test_unsupported_combo_raises():
     with pytest.raises(ValueError):
         fused_minimize(
-            solvers.GradientDescent(), ls.MoreThuente(), _quad, _x0(),
+            solvers.GradientDescent(),
+            ls.MoreThuente(reference_quirks=True), _quad, _x0(),
             consts=(DVEC,), interpret=True,
         )
 
