@@ -179,6 +179,18 @@ class MoreThuente(LineSearch):
             t_new = jnp.where(case1, t1, jnp.where(case2, t2, jnp.where(case3, t3, t4)))
             # clamp with Rust NaN-collapsing semantics (morethuente.rs:290)
             t_new = rust_clamp(t_new, t_min, t_max)
+            if not self.reference_quirks:
+                # force-progress safeguard (MINPACK dcsrch): with tu still
+                # infinite (minimum not bracketed), the case-4 cubic is
+                # inf-poisoned and the NaN-collapsing clamp lands the trial
+                # exactly on t_min — a zero step the solver reads as
+                # "iterate stopped moving".  A trial equal to an interval
+                # endpoint cannot make progress: extrapolate while
+                # unbracketed, bisect once bracketed.
+                no_prog = (t_new == tl) | (t_new == tu) | ~jnp.isfinite(t_new)
+                fallback = jnp.where(jnp.isfinite(tu), 0.5 * (tl + tu), 2.0 * t)
+                t_new = jnp.where(no_prog, rust_clamp(fallback, t_min, t_max),
+                                  t_new)
 
             # interval update: the values (f_l, f_c, g_c) belong to the
             # EVALUATED t, so the correct MT updating algorithm revises the

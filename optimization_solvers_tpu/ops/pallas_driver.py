@@ -1037,6 +1037,15 @@ class _MTSpec:
                               jnp.where(case2, t2,
                                         jnp.where(case3, t3, t4)))
             t_new = rust_clamp(t_new, mt[6][None, :], mt[7][None, :])
+            # force-progress safeguard — keep in sync with
+            # linesearch/morethuente.py (MINPACK dcsrch semantics):
+            # extrapolate while unbracketed, bisect once bracketed
+            no_prog = (t_new == tl) | (t_new == tu) | ~jnp.isfinite(t_new)
+            fallback = jnp.where(jnp.isfinite(tu), 0.5 * (tl + tu), 2.0 * t)
+            t_new = jnp.where(
+                no_prog,
+                rust_clamp(fallback, mt[6][None, :], mt[7][None, :]),
+                t_new)
 
             # corrected MT: interval revised at the EVALUATED t
             tl_new, tu_new, conv_new = _update_interval(

@@ -222,3 +222,22 @@ def test_morethuente_never_accepts_divergent_step_rosenbrock():
         solvers.BFGS(tol=2e-4), ls.MoreThuente(reference_quirks=True),
         oracle, x0, max_iter=1500, max_iter_ls=40)
     assert float(quirk.f) > 1e6  # reproduces the reference failure mode
+
+
+def test_morethuente_unbracketed_extrapolates():
+    # regression: with tu still infinite (minimum not bracketed), the
+    # case-4 cubic is inf-poisoned and the NaN-collapsing clamp used to
+    # land the trial exactly on t_min=0 — a zero step the solver read as
+    # "iterate stopped moving" (BFGS stalled at f=2.7 on 2-D Rosenbrock).
+    # The force-progress safeguard must extrapolate instead.
+    from optimization_solvers_tpu import solvers
+
+    def ros2(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1 - x[:-1]) ** 2)
+
+    res = solvers.minimize(
+        solvers.BFGS(tol=1e-6), ls.MoreThuente(),
+        make_oracle(ros2), jnp.array([-1.2, 1.0]), max_iter=200)
+    assert float(res.f) < 1e-12
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-6)
