@@ -531,7 +531,10 @@ class _NewtonCommon:
         return [((n, n, T), dtype),   # H (downdated in place)
                 ((n, n, T), dtype),   # L (row j = factor column j)
                 ((n, T), dtype),      # w1: rhs / solution
-                ((n, T), dtype)]      # w2: forward-solve intermediate
+                ((n, T), dtype),      # w2: forward-solve intermediate
+                ((1, T), dtype)]      # flags: 1.0 where a pivot collapsed
+                                      # (Mosaic forbids vector loop carries,
+                                      # so the bad-pivot mask lives here)
 
     def preferred_tile(self, n, tile):
         return min(tile, 128)
@@ -572,18 +575,24 @@ class _NewtonCommon:
         diag = ctx.sum_mid(jnp.where(rows3 == cols3, H[...], 0.0))[:, 0, :]
         dmax = ctx.max(jnp.abs(diag))
 
-        def fact_body(j, bad):
+        flags = st[4]
+        flags[...] = jnp.zeros((1, T), ctx.dtype)
+
+        def fact_body(j, _):
             Hj = H[j]                                     # (n, T)
             piv = self._row_extract(Hj, j, ctx)           # (1, T)
-            bad = bad | (piv <= eps * jnp.maximum(dmax, 1.0))
+            flags[...] = jnp.maximum(
+                flags[...],
+                (piv <= eps * jnp.maximum(dmax, 1.0)).astype(ctx.dtype))
             piv_s = jnp.sqrt(jnp.maximum(piv, eps))
             col = jnp.where(rows2 > j, Hj / piv_s, 0.0)
             L[j] = col + jnp.where(rows2 == j, jnp.broadcast_to(piv_s, (n, T)), 0.0)
             mask = (rows3 > j) & (cols3 > j)
             H[...] = H[...] - jnp.where(mask, col[:, None, :] * col[None, :, :], 0.0)
-            return bad
+            return 0
 
-        return lax.fori_loop(0, n, fact_body, jnp.zeros((1, T), bool))
+        lax.fori_loop(0, n, fact_body, 0)
+        return flags[...] > 0.0
 
     def _tri_solve(self, st, rhs, ctx):
         """Solve ``H w = rhs`` re-using the factor in slab 1 (forward then
@@ -648,18 +657,18 @@ class _NewtonSpec(_NewtonCommon):
         return self._base_scratch(n, T, dtype) + [((1, T), dtype)]  # dec2
 
     def init(self, st, X, G, Fv, ctx):
-        dec2 = st[4]
+        dec2 = st[5]
         dec2[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
 
     def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
         pass
 
     def converged(self, st, X, G, Fv, ctx):
-        dec2 = st[4]
+        dec2 = st[5]
         return dec2[...] * 0.5 < self.tol
 
     def direction(self, st, X, G, Fv, active, ctx):
-        dec2 = st[4]
+        dec2 = st[5]
         H = st[0]
         H[...] = ctx.bhess(X)
         step, ok = self._chol_solve(st, G, ctx)
@@ -689,7 +698,7 @@ class _PNSpec(_NewtonCommon):
             ((1, T), dtype), ((1, T), dtype)]  # s_norm, y_norm
 
     def init(self, st, X, G, Fv, ctx):
-        sn, yn = st[4], st[5]
+        sn, yn = st[5], st[6]
         sn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
         yn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
 
@@ -700,7 +709,7 @@ class _PNSpec(_NewtonCommon):
         return ctx.max(jnp.abs(pg))
 
     def converged(self, st, X, G, Fv, ctx):
-        sn, yn = st[4], st[5]
+        sn, yn = st[5], st[6]
         too_close = (sn[...] < self.tol) | (yn[...] < self.tol)
         return too_close | (self._pg_norm(X, G, ctx) < self.tol)
 
@@ -712,7 +721,7 @@ class _PNSpec(_NewtonCommon):
         return ctx.clip(X - step) - X
 
     def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
-        sn, yn = st[4], st[5]
+        sn, yn = st[5], st[6]
         s = X - X_old
         y = G - G_old
         sn[...] = jnp.where(active, jnp.sqrt(ctx.sum(s * s)), sn[...])
@@ -735,7 +744,7 @@ class _SPNSpec(_NewtonCommon):
         return self._base_scratch(n, T, dtype) + [((1, T), dtype)]  # lam
 
     def init(self, st, X, G, Fv, ctx):
-        lam = st[4]
+        lam = st[5]
         d0 = ctx.clip(X[...] - G[...]) - X[...]
         l0 = 1.0 / ctx.max(jnp.abs(d0))
         lam[...] = jnp.clip(l0, self.lam_min, self.lam_max)
@@ -750,14 +759,14 @@ class _SPNSpec(_NewtonCommon):
         return self._pg_norm(X, G, ctx) < self.tol
 
     def direction(self, st, X, G, Fv, active, ctx):
-        H, lam = st[0], st[4]
+        H, lam = st[0], st[5]
         H[...] = ctx.bhess(X)
         step, ok = self._chol_solve(st, G, ctx)
         step = jnp.where(ok, step, G)
         return ctx.clip(X - lam[...] * step) - X
 
     def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
-        lam = st[4]
+        lam = st[5]
         s = X - X_old
         y = G - G_old
         sy = ctx.sum(s * y)
