@@ -16,7 +16,12 @@ Mosaic-specific structure (learned the hard way):
   * the (m, n, T) history is a ring buffer addressed by a head counter
     (no concatenate-shift data movement);
   * per-lane masks are (1, T) float/int tiles, instance axis last, so
-    every op is a full-lane vector op.
+    every op is a full-lane vector op;
+  * bool vectors are second-class: an i1 vector LOOP CARRY fails to
+    legalize ("failed to legalize scf.for"), and a SELECT between i1
+    vectors fails with "Unsupported target bitwidth for truncation" —
+    keep evolving masks as float 0/1 scratch rows and select between
+    float encodings, casting to bool only for immediate predicates.
 
 The oracle is any pure-jnp scalar objective; its batched value-and-grad is
 built with ``jax.vmap(jax.value_and_grad(f))`` and traced straight into
