@@ -1,0 +1,74 @@
+"""Hardware sweep: compile + run EVERY fused (method, search) combo of the
+generic kernel (ops/pallas_driver.py) on the real TPU with a small
+workload; report pass/fail per combo.
+
+Interpret-mode tests CANNOT catch Mosaic lowering failures (i1 vector
+carries, bool selects, replicated-layout reductions, ...), so run this
+after any kernel/spec change:
+
+    python tools/hw_sweep.py        # ~10-40 min of remote compiles cold;
+                                    # fast when /tmp/jax_cache is warm
+"""
+import time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_solvers_tpu import linesearch as ls, solvers
+from optimization_solvers_tpu.ops.pallas_driver import fused_minimize
+
+DT = jnp.float32
+print("device:", jax.devices()[0].device_kind, flush=True)
+N, B = 16, 256
+d = jnp.asarray(np.linspace(1.0, 40.0, N), DT)
+
+def quad(x, dd):
+    return 0.5 * jnp.sum(dd * x * x)
+
+lo = jnp.full(N, -1.5, DT)
+hi = jnp.full(N, 2.5, DT)
+x0 = jnp.asarray(np.random.RandomState(0).uniform(-1.4, 2.4, (B, N)), DT)
+
+COMBOS = [
+    ("GD+BT", solvers.GradientDescent(grad_tol=1e-4), ls.BackTracking(), False),
+    ("GD+GLL", solvers.GradientDescent(grad_tol=1e-4), ls.GLLQuadratic(), False),
+    ("GD+MT", solvers.GradientDescent(grad_tol=1e-4), ls.MoreThuente(), False),
+    ("CD+BT", solvers.CoordinateDescent(grad_tol=1e-4), ls.BackTracking(), False),
+    ("PGD+BTB", solvers.ProjectedGradientDescent(grad_tol=1e-4), ls.BackTrackingB(), True),
+    ("SPG+GLL", solvers.SpectralProjectedGradient(grad_tol=1e-4), ls.GLLQuadratic(), True),
+    ("NCG-pr+BT", solvers.NonlinearCG(grad_tol=1e-4, variant="pr+"), ls.BackTracking(), False),
+    ("BFGS+BT", solvers.BFGS(tol=1e-5), ls.BackTracking(), False),
+    ("BFGS+MT", solvers.BFGS(tol=1e-5), ls.MoreThuente(), False),
+    ("DFP+BT", solvers.DFP(tol=1e-5), ls.BackTracking(), False),
+    ("Broyden+NoSearch", solvers.Broyden(tol=1e-5), ls.NoSearch(), False),
+    ("BFGSB+BTB", solvers.BFGSB(tol=1e-5), ls.BackTrackingB(), True),
+    ("BFGSB+MTB", solvers.BFGSB(tol=1e-5), ls.MoreThuenteB(), True),
+    ("SR1B+BTB", solvers.SR1B(tol=1e-5), ls.BackTrackingB(), True),
+    ("Newton+NoSearch", solvers.Newton(tol=1e-8), ls.NoSearch(), False),
+    ("PN+BTB", solvers.ProjectedNewton(grad_tol=1e-4), ls.BackTrackingB(), True),
+    ("SPN+BTB", solvers.SpectralProjectedNewton(grad_tol=1e-4), ls.BackTrackingB(), True),
+]
+
+ok = fail = 0
+for name, m, s, bounded in COMBOS:
+    args = (m, s, quad, x0)
+    kw = dict(consts=(d,), max_iter=300, max_iter_ls=30, tile=128)
+    if bounded:
+        kw.update(lower=lo, upper=hi)
+    t0 = time.perf_counter()
+    try:
+        r = fused_minimize(*args, **kw)
+        conv = float(np.asarray((r.status == 1)).mean())
+        medf = float(np.median(np.asarray(r.f)))
+        dt = time.perf_counter() - t0
+        tag = "OK " if conv > 0.95 else "WARN"
+        print(f"{tag} {name}: conv {conv:.2f} med_f {medf:.2e} "
+              f"({dt:.0f}s)", flush=True)
+        ok += 1
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:150]}", flush=True)
+        fail += 1
+print(f"SWEEP-DONE ok={ok} fail={fail}", flush=True)
