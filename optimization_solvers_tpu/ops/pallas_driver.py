@@ -15,7 +15,8 @@ Supported methods (reference files in ``src/steepest_descent/`` and
 ``src/quasi_newton/``):
   GradientDescent, CoordinateDescent (Gauss-Southwell), PnormDescent,
   ProjectedGradientDescent, SpectralProjectedGradient, NonlinearCG
-  (fr/pr+/hs/dy — no reference counterpart), the dense quasi-Newton
+  (fr/pr+/hs/dy — no reference counterpart), limited-memory BFGS (two-loop
+  recursion over (m, n, T) histories), the dense quasi-Newton
   family BFGS/DFP/Broyden (+ bounded twins and SR1B) with their (n, n, T)
   inverse-Hessian slabs resident in VMEM, and the Newton family
   Newton/ProjectedNewton/SPN (``src/newton/``) with per-iteration AD
@@ -506,6 +507,82 @@ class _QNBSpec(_QNSpec):
         if self.restart:
             d = jnp.where(ctx.sum(G * d) < 0.0, d, ctx.clip(X - G) - X)
         return d
+
+
+class _LBFGSSpec:
+    """Limited-memory BFGS (solvers/lbfgs.py) as a fused tile spec: the
+    (m, n, T) S/Y histories live in VMEM scratch with shift-not-ring
+    updates, and the two-loop recursion unrolls over the static history
+    length m — a chain of full-lane (n, T) FMAs with (1, T) scalars.
+    O(m n) memory per lane vs the dense family's (n, n, T) slabs, so it
+    scales to much larger n at fused-kernel speed."""
+
+    bounded = False
+
+    def __init__(self, method):
+        self.tol = float(method.tol)
+        self.m = int(method.m)
+        self.curvature_eps = float(method.curvature_eps)
+
+    def scratch(self, n, T, dtype):
+        m = self.m
+        return [((m, n, T), dtype),   # S (row m-1 = newest pair)
+                ((m, n, T), dtype),   # Y
+                ((m, T), dtype),      # rho = 1/s.y (0 on invalid slots)
+                ((m, T), dtype),      # valid (float 0/1)
+                ((1, T), dtype)]      # gamma (H0 = gamma I)
+
+    def const_arrays(self):
+        return ()
+
+    def init(self, st, X, G, Fv, ctx):
+        S, Y, rho, valid, gamma = st
+        S[...] = jnp.zeros((self.m, ctx.n, ctx.T), ctx.dtype)
+        Y[...] = jnp.zeros((self.m, ctx.n, ctx.T), ctx.dtype)
+        rho[...] = jnp.zeros((self.m, ctx.T), ctx.dtype)
+        valid[...] = jnp.zeros((self.m, ctx.T), ctx.dtype)
+        gamma[...] = jnp.ones((1, ctx.T), ctx.dtype)
+
+    def converged(self, st, X, G, Fv, ctx):
+        return ctx.max(jnp.abs(G)) < self.tol
+
+    def direction(self, st, X, G, Fv, active, ctx):
+        S, Y, rho, valid, gamma = st
+        m = self.m
+        q = G
+        alphas = [None] * m
+        for j in range(m - 1, -1, -1):          # newest -> oldest
+            vj = valid[j][None, :]               # (1, T) 0/1
+            a = rho[j][None, :] * ctx.sum(S[j] * q) * vj
+            q = q - a * Y[j]
+            alphas[j] = a
+        r = gamma[...] * q
+        for j in range(m):                       # oldest -> newest
+            vj = valid[j][None, :]
+            b = rho[j][None, :] * ctx.sum(Y[j] * r) * vj
+            r = r + (alphas[j] - b) * S[j]
+        return -r
+
+    def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
+        S, Y, rho, valid, gamma = st
+        m = self.m
+        s = X - X_old
+        y = G - G_old
+        sy = ctx.sum(s * y)
+        yy = ctx.sum(y * y)
+        accept = active & (sy > self.curvature_eps * yy)
+        # shift-not-ring, per-lane masked (see pallas_lbfgs docstring rules)
+        acc_row = accept[0]                      # (T,)
+        for p in range(m - 1):
+            S[p] = jnp.where(accept, S[p + 1], S[p])
+            Y[p] = jnp.where(accept, Y[p + 1], Y[p])
+            rho[p] = jnp.where(acc_row, rho[p + 1], rho[p])
+            valid[p] = jnp.where(acc_row, valid[p + 1], valid[p])
+        S[m - 1] = jnp.where(accept, s, S[m - 1])
+        Y[m - 1] = jnp.where(accept, y, Y[m - 1])
+        rho[m - 1] = jnp.where(acc_row, (1.0 / sy)[0], rho[m - 1])
+        valid[m - 1] = jnp.where(acc_row, 1.0, valid[m - 1])
+        gamma[...] = jnp.where(accept, sy / yy, gamma[...])
 
 
 class _NewtonCommon:
@@ -1090,8 +1167,12 @@ def _build_specs(method, line_search):
     from optimization_solvers_tpu.solvers import (
         newton, nonlinear_cg, quasi_newton, steepest)
 
+    from optimization_solvers_tpu.solvers import lbfgs as lbfgs_mod
+
     mspec = None
-    if isinstance(method, quasi_newton.QuasiNewtonB):
+    if isinstance(method, lbfgs_mod.LBFGS):
+        mspec = _LBFGSSpec(method)
+    elif isinstance(method, quasi_newton.QuasiNewtonB):
         mspec = _QNBSpec(method)
     elif isinstance(method, quasi_newton.QuasiNewton):
         mspec = _QNSpec(method)

@@ -260,3 +260,33 @@ def test_out_of_domain_status():
         interpret=True,
     )
     assert bool(jnp.all(r.status == 3))  # OUT_OF_DOMAIN
+
+
+def test_lbfgs_fused_matches_unfused():
+    # limited-memory BFGS through the generic fused kernel vs the flexible
+    # driver, including the curvature-gated shift-not-ring history
+    method = solvers.LBFGS(tol=1e-6, m=5)
+    x0 = _x0()
+    r_ref = solvers.batch_minimize(
+        method, ls.MoreThuente(), _oracle(), x0,
+        max_iter=500, max_iter_ls=40, fused=False)
+    r_fus = fused_minimize(
+        method, ls.MoreThuente(), _quad, x0,
+        consts=(DVEC,), max_iter=500, max_iter_ls=40, tile=16,
+        interpret=True)
+    assert bool(jnp.all(r_fus.status == 1))
+    np.testing.assert_allclose(np.asarray(r_fus.f), np.asarray(r_ref.f),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r_fus.x), np.asarray(r_ref.x),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_lbfgs_fused_rosenbrock():
+    method = solvers.LBFGS(tol=1e-5, m=6)
+    from optimization_solvers_tpu.core import problems
+    f = problems.rosenbrock()
+    x0 = jnp.asarray(np.random.RandomState(3).uniform(-2, 2, (8, 20)))
+    r = fused_minimize(method, ls.MoreThuente(), f, x0,
+                       max_iter=800, max_iter_ls=40, tile=8, interpret=True)
+    f_vals = np.asarray(r.f)
+    assert np.all((f_vals < 1e-8) | (np.abs(f_vals - 3.9866) < 1e-2))
