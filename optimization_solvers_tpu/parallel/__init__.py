@@ -8,6 +8,7 @@ from optimization_solvers_tpu.parallel.sharded import (
     scaling_report,
     sharded_batch_minimize,
     sharded_lbfgsb_minimize,
+    sharded_fused_minimize,
     sharded_lbfgsb_solve_fused,
     sharded_summary,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "batch_sharding",
     "sharded_batch_minimize",
     "sharded_lbfgsb_minimize",
+    "sharded_fused_minimize",
     "sharded_lbfgsb_solve_fused",
     "coordinate_sharded_minimize",
     "coordinate_sharded_lbfgsb_minimize",

@@ -277,3 +277,50 @@ def sharded_lbfgsb_solve_fused(
 
     x0 = jax.device_put(x0, NamedSharding(mesh, P(axis, None)))
     return jax.jit(solve_shard)(x0, lower, upper)
+
+
+def sharded_fused_minimize(
+    method,
+    line_search,
+    f,
+    x0: jax.Array,
+    lower: jax.Array = None,
+    upper: jax.Array = None,
+    consts: tuple = (),
+    *,
+    mesh: Mesh,
+    axis: str = "dp",
+    **fused_kwargs,
+) -> SolveResult:
+    """Multi-chip GENERIC fused path: ``shard_map`` of the generic fused
+    whole-solve kernel (``ops/pallas_driver.py`` — any supported
+    (method, search) combo) over the batch axis; each device runs its
+    shard's VMEM-resident tiles to completion independently.
+
+    ``consts`` (problem-data arrays) are replicated; the per-device shard
+    size is padded to the kernel ``tile`` inside ``fused_minimize``.
+    """
+    from optimization_solvers_tpu.ops.pallas_driver import fused_minimize
+
+    bounded = lower is not None
+
+    if bounded:
+        in_specs = (P(axis, None), P(None), P(None))
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                           out_specs=_result_specs(axis), check_vma=False)
+        def solve_shard(x0_local, lo, up):
+            return fused_minimize(method, line_search, f, x0_local, lo, up,
+                                  consts=consts, **fused_kwargs)
+
+        x0 = jax.device_put(x0, NamedSharding(mesh, P(axis, None)))
+        return jax.jit(solve_shard)(x0, lower, upper)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(axis, None),),
+                       out_specs=_result_specs(axis), check_vma=False)
+    def solve_shard(x0_local):
+        return fused_minimize(method, line_search, f, x0_local,
+                              consts=consts, **fused_kwargs)
+
+    x0 = jax.device_put(x0, NamedSharding(mesh, P(axis, None)))
+    return jax.jit(solve_shard)(x0)

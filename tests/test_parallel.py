@@ -111,3 +111,35 @@ def test_sharded_fused_lbfgsb_matches_single_device():
         np.asarray(r_sharded.x), np.asarray(r_single.x), atol=1e-12)
     np.testing.assert_array_equal(
         np.asarray(r_sharded.iterations), np.asarray(r_single.iterations))
+
+
+def test_sharded_generic_fused_matches_single_device():
+    # the GENERIC fused kernel (any method x search) under shard_map must
+    # agree lane-for-lane with the same kernel run unsharded
+    from optimization_solvers_tpu import linesearch as ls, solvers
+    from optimization_solvers_tpu.ops.pallas_driver import fused_minimize
+    from optimization_solvers_tpu.parallel import (
+        make_mesh, sharded_fused_minimize)
+
+    n, B = 8, 32
+    d = jnp.asarray(np.linspace(1.0, 20.0, n))
+
+    def f(x, dd):
+        return 0.5 * jnp.sum(dd * x * x)
+
+    x0 = jnp.asarray(np.random.RandomState(5).uniform(-2, 2, (B, n)))
+    lo = jnp.full((n,), -1.5)
+    hi = jnp.full((n,), 2.5)
+    mesh = make_mesh((8,), ("dp",))
+    method = solvers.SpectralProjectedGradient(grad_tol=1e-8)
+    kw = dict(consts=(d,), max_iter=500, max_iter_ls=30, tile=4,
+              interpret=True)
+    r_sharded = sharded_fused_minimize(
+        method, ls.GLLQuadratic(), f, x0, lo, hi, mesh=mesh, axis="dp", **kw)
+    r_single = fused_minimize(method, ls.GLLQuadratic(), f, x0, lo, hi, **kw)
+    np.testing.assert_allclose(
+        np.asarray(r_sharded.x), np.asarray(r_single.x), atol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(r_sharded.iterations), np.asarray(r_single.iterations))
+    np.testing.assert_array_equal(
+        np.asarray(r_sharded.status), np.asarray(r_single.status))
