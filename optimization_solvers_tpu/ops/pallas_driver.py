@@ -25,7 +25,8 @@ Supported searches (``src/line_search/``): BackTracking, BackTrackingB,
   GLLQuadratic (with the safeguarded quadratic interpolation trial update,
   ``gll_quadratic.rs:78-93``), MoreThuente / MoreThuenteB (strong Wolfe;
   corrected interval update — ``reference_quirks=True`` falls back to the
-  XLA path), NoSearch.
+  XLA path), HagerZhang / HagerZhangB (CG_DESCENT approximate Wolfe),
+  NoSearch.
 
 Mosaic structure follows :mod:`pallas_lbfgs` (learned the hard way, see its
 docstring): scalar-only loop carries, all evolving state in VMEM scratch
@@ -1155,6 +1156,143 @@ class _MTSpec:
         return mt[0][None, :]
 
 
+class _HZSpec:
+    """Hager-Zhang (CG_DESCENT approximate-Wolfe) as a fused tile spec —
+    the flattened bracket/bisect/secant state machine of
+    ``linesearch/hager_zhang.py`` with per-lane scalars on (1, T) rows;
+    one gradient-bearing trial eval per loop trip through ``ctx.bvg``.
+    Bounded variant caps the bracketing expansion at the per-coordinate
+    max feasible step."""
+
+    _BRACKET, _BISECT, _SECANT = 0.0, 1.0, 2.0
+
+    def __init__(self, search, bounded: bool):
+        self.delta = float(search.delta)
+        self.sigma = float(search.sigma)
+        self.eps = float(search.eps)
+        self.theta = float(search.theta)
+        self.gamma = float(search.gamma)
+        self.rho = float(search.rho)
+        self.bounded = bounded
+
+    def scratch(self, n, T, dtype):
+        # rows: 0=a 1=da 2=b 3=c 4=mode 5=t_best 6=f_best 7=shrink 8=done
+        #       9=t_max
+        return [((10, T), dtype)]
+
+    def init(self, st, Fv, ctx):
+        pass
+
+    def run(self, st, X, G, Fv, d, active, bval, max_iter_ls, ctx):
+        hz = st[0]
+        dtype, T = ctx.dtype, ctx.T
+        delta = jnp.asarray(self.delta, dtype)
+        sigma = jnp.asarray(self.sigma, dtype)
+        theta = jnp.asarray(self.theta, dtype)
+        gamma = jnp.asarray(self.gamma, dtype)
+        rho = jnp.asarray(self.rho, dtype)
+        tiny = float(jnp.finfo(dtype).tiny)
+        big = float(jnp.finfo(dtype).max)
+
+        if self.bounded:
+            pos = (ctx.up - X) / d
+            neg = (ctx.lo - X) / d
+            terms = jnp.where(d > 0.0, pos,
+                              jnp.where(d < 0.0, neg, jnp.inf))
+            terms = jnp.where(jnp.isnan(terms), jnp.inf, terms)
+            t_max = -ctx.max(-terms)                  # (1, T) min over coords
+        else:
+            t_max = jnp.full((1, T), jnp.inf, dtype)
+
+        f0 = Fv
+        d0 = ctx.sum(G * d)
+        f_eps = f0 + self.eps * jnp.abs(f0)
+
+        hz[0] = jnp.zeros((T,), dtype)                # a
+        hz[1] = d0[0]                                 # phi'(a)
+        hz[2] = jnp.full((T,), big, dtype)            # b
+        t1 = jnp.minimum(jnp.ones((1, T), dtype), t_max)
+        hz[3] = t1[0]                                 # c (first trial)
+        hz[4] = jnp.full((T,), self._BRACKET, dtype)  # mode
+        hz[5] = t1[0]                                 # t_best fallback
+        hz[6] = jnp.full((T,), big, dtype)            # f_best
+        hz[7] = jnp.full((T,), big, dtype)            # shrink_ref
+        hz[8] = (~active)[0].astype(dtype)            # done
+        hz[9] = t_max[0]
+
+        def cond(s):
+            i, n_go = s
+            return (i < max_iter_ls) & (n_go > 0)
+
+        def body(s):
+            i, _ = s
+            a = hz[0][None, :]
+            da_ = hz[1][None, :]
+            b = hz[2][None, :]
+            c = hz[3][None, :]
+            mode = hz[4][None, :]
+            t_best = hz[5][None, :]
+            f_best = hz[6][None, :]
+            shrink_ref = hz[7][None, :]
+            done = hz[8][None, :] > 0
+            t_cap = hz[9][None, :]
+
+            fc, gvec = ctx.bvg(X + c * d)
+            dc = ctx.sum(gvec * d)
+            wolfe = (fc - f0 <= delta * c * d0) & (dc >= sigma * d0)
+            approx = ((dc <= (2.0 * delta - 1.0) * d0)
+                      & (dc >= sigma * d0) & (fc <= f_eps))
+            ok = wolfe | approx
+            ok = ok | ((c >= t_cap) & (dc < 0.0) & (fc <= f_eps))
+            better = (fc < f_best) & (c > 0.0)
+            t_best = jnp.where(ok, c, jnp.where(better, c, t_best))
+            f_best = jnp.where(better, fc, f_best)
+
+            to_secant = dc >= 0.0
+            advance = (~to_secant) & (fc <= f_eps)
+            to_bisect = (~to_secant) & (fc > f_eps)
+
+            a_new = jnp.where(advance, c, a)
+            da_new = jnp.where(advance, dc, da_)
+            b_new = jnp.where(to_secant | to_bisect, c, b)
+
+            grow = jnp.minimum(rho * c, t_cap)
+            bis = (1.0 - theta) * a_new + theta * b_new
+            denom = dc - da_new
+            sec = jnp.where(jnp.abs(denom) > tiny,
+                            (a_new * dc - c * da_new) / denom, bis)
+            width = b_new - a_new
+            stalled = width > gamma * shrink_ref
+            sec = jnp.where((sec <= a_new) | (sec >= b_new) | stalled,
+                            0.5 * (a_new + b_new), sec)
+            shrink_new = width
+
+            next_mode = jnp.where(
+                to_secant, self._SECANT,
+                jnp.where(to_bisect, self._BISECT, mode))
+            in_bracket_phase = (mode == self._BRACKET) & advance
+            c_new = jnp.where(
+                in_bracket_phase, grow,
+                jnp.where(next_mode == self._SECANT, sec, bis))
+
+            frozen = done | ok
+            hz[0] = jnp.where(frozen, a, a_new)[0]
+            hz[1] = jnp.where(frozen, da_, da_new)[0]
+            hz[2] = jnp.where(frozen, b, b_new)[0]
+            hz[3] = jnp.where(frozen, c, c_new)[0]
+            hz[4] = jnp.where(frozen, mode, next_mode)[0]
+            hz[5] = t_best[0]
+            hz[6] = f_best[0]
+            hz[7] = jnp.where(frozen, shrink_ref, shrink_new)[0]
+            hz[8] = frozen[0].astype(dtype)
+            n_go = jnp.sum((hz[8] == 0.0).astype(jnp.int32),
+                           dtype=jnp.int32)
+            return (i + 1, n_go)
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+        return hz[5][None, :]
+
+
 # ---------------------------------------------------------------------------
 # Spec dispatch
 # ---------------------------------------------------------------------------
@@ -1213,6 +1351,10 @@ def _build_specs(method, line_search):
         if line_search.reference_quirks:
             return None
         lspec = _MTSpec(line_search, bounded=False)
+    elif isinstance(line_search, ls.HagerZhangB):
+        lspec = _HZSpec(line_search, bounded=True)
+    elif isinstance(line_search, ls.HagerZhang):
+        lspec = _HZSpec(line_search, bounded=False)
     elif isinstance(line_search, ls.NoSearch):
         lspec = _NoSearchSpec()
     else:

@@ -42,6 +42,9 @@ COMBOS = [
     (solvers.NonlinearCG(grad_tol=1e-6, variant="dy"), ls.BackTracking(), False),
     (solvers.BFGS(tol=1e-8), ls.BackTracking(), False),
     (solvers.BFGS(tol=1e-8), ls.MoreThuente(), False),
+    (solvers.LBFGS(tol=1e-8, m=4), ls.HagerZhang(), False),
+    (solvers.GradientDescent(grad_tol=1e-6), ls.HagerZhang(), False),
+    (solvers.BFGSB(tol=1e-8), ls.HagerZhangB(), True),
     (solvers.GradientDescent(grad_tol=1e-6), ls.MoreThuente(), False),
     (solvers.BFGSB(tol=1e-8), ls.MoreThuenteB(), True),
     (solvers.DFP(tol=1e-8), ls.BackTracking(), False),
@@ -182,6 +185,8 @@ def test_fused_supported_combos():
     assert not fused_supported(
         solvers.GradientDescent(), ls.MoreThuente(reference_quirks=True))
     assert fused_supported(solvers.BFGSB(), ls.MoreThuenteB())
+    assert fused_supported(solvers.LBFGS(), ls.HagerZhang())
+    assert fused_supported(solvers.SR1B(), ls.HagerZhangB())
     # BackTrackingB needs a bounded method
     assert not fused_supported(solvers.GradientDescent(), ls.BackTrackingB())
     # dense QN family (incl. bounded) is covered

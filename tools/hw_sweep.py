@@ -48,6 +48,8 @@ COMBOS = [
     ("BFGSB+MTB", solvers.BFGSB(tol=1e-5), ls.MoreThuenteB(), True),
     ("SR1B+BTB", solvers.SR1B(tol=1e-5), ls.BackTrackingB(), True),
     ("LBFGS+MT", solvers.LBFGS(tol=1e-4, m=5), ls.MoreThuente(), False),
+    ("LBFGS+HZ", solvers.LBFGS(tol=1e-4, m=5), ls.HagerZhang(), False),
+    ("BFGSB+HZB", solvers.BFGSB(tol=1e-5), ls.HagerZhangB(), True),
     ("LBFGS+BT", solvers.LBFGS(tol=1e-4, m=5), ls.BackTracking(), False),
     ("Newton+NoSearch", solvers.Newton(tol=1e-8), ls.NoSearch(), False),
     ("PN+BTB", solvers.ProjectedNewton(grad_tol=1e-4), ls.BackTrackingB(), True),
