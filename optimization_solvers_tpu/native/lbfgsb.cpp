@@ -364,6 +364,11 @@ void subspace_step(const State& st, const Vec& x, const Vec& g, const Vec& xcp,
   xbar = xcp;
   for (int i = 0; i < n; ++i)
     if (free_mask[i]) xbar[i] += alpha * du[i];
+  // clip away rounding dust: an epsilon-outward component on a coordinate
+  // sitting exactly on its bound collapses the line search's max feasible
+  // step to -0.0 (mathematically xbar is already in the box)
+  for (int i = 0; i < n; ++i)
+    xbar[i] = std::min(std::max(xbar[i], lo[i]), up[i]);
 }
 
 // ---------------------------------------------------------------------------

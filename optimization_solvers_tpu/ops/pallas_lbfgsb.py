@@ -452,7 +452,12 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             alpha = jnp.minimum(
                 jnp.ones((1, T), dtype), jnp.min(steps, axis=0, keepdims=True)
             )
-            return xcp[...] + alpha * jnp.where(free, du, 0.0)
+            # clip away rounding dust: an epsilon-outward direction on a
+            # coordinate sitting exactly on its bound collapses the line
+            # search's max feasible step to -0.0 (see solvers/lbfgsb.py
+            # _subspace_step); mathematically xbar is already in the box
+            return jnp.clip(
+                xcp[...] + alpha * jnp.where(free, du, 0.0), lo, up)
 
         # ------------------------------------------------------------------
 

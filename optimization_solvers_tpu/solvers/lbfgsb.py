@@ -100,6 +100,10 @@ class LbfgsbConfig:
     # event per outer iteration via jax.debug.callback; < 1 additionally
     # defers to OST_LOG=debug (utils.telemetry.debug_enabled)
     verbose: int = -1
+    # breakpoints retired per trip of the generalized-Cauchy-point walk
+    # (see _cauchy_point); larger = fewer while trips, more wasted work in
+    # the stopping chunk
+    gcp_chunk: int = 256
 
 
 def _projected_gradient_norm(x, g, lower, upper):
@@ -129,16 +133,6 @@ def _mid_solve(mid: _Mid, ab: jax.Array) -> jax.Array:
     v = spd_solve_small(mid.Sch, b + matvec(jnp.swapaxes(mid.G, -1, -2), Einv_a))
     u = spd_solve_small(mid.Ech, matvec(mid.G, v) - a)
     return jnp.concatenate([u, v], axis=-1)
-
-
-def _equilibrated_inv(A: jax.Array) -> jax.Array:
-    """Inverse with symmetric Jacobi equilibration: scale rows/cols by
-    1/sqrt(|diag|) before LU so f32 survives the orders-of-magnitude spread
-    of the curvature diagonal (inv(S A S) = S^-1 A^-1 S^-1)."""
-    d = jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1))
-    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, A.dtype)))
-    As = A * s[..., :, None] * s[..., None, :]
-    return jnp.linalg.inv(As) * s[..., :, None] * s[..., None, :]
 
 
 def _middle_factors(hist: _History, free=None) -> _Mid:
@@ -172,14 +166,31 @@ def _middle_factors(hist: _History, free=None) -> _Mid:
     return _Mid(Ech, G, cholesky_small(schur))
 
 
+def _middle_inverse(D, Lm, H):
+    """Explicit inverse of ``MM = [[-diag(D), Lm^T], [Lm, H]]`` via block
+    elimination on the diagonal (1,1) block: the Schur complement
+    ``Sc = H + Lm diag(1/D) Lm^T`` is SPD (D > 0 from the curvature-gated
+    history; H = theta S^T S + pad), so one unrolled small Cholesky
+    replaces the batched LU inverse (XLA's ``jnp.linalg.inv`` measured
+    ~0.7 ms/iteration at m=10, B=64 — comparable to the whole rest of the
+    direction computation)."""
+    dtype = D.dtype
+    m = D.shape[-1]
+    U = Lm / D[None, :]                                     # Lm diag(1/D)
+    Sc = H + matmat(U, Lm.T)
+    J = spd_solve_small_mat(cholesky_small(Sc), jnp.eye(m, dtype=dtype))
+    JU = matmat(J, U)                                       # (m, m)
+    TL = matmat(U.T, JU) - jnp.diag(1.0 / D)
+    return jnp.block([[TL, JU.T], [JU, J]])
+
+
 def _build_middle(hist: _History):
     """W (as rows: (2m, n)) and the dense middle inverse M = MM^{-1}.
 
-    The Schur-factorized solver (:func:`_middle_factors`) is numerically
-    ideal but its unrolled scalar updates compile pathologically slowly
-    under Mosaic inside the Cauchy while-loop; the explicit equilibrated
-    inverse keeps XLA's fast batched LU while taming the f32 conditioning.
-    """
+    The inverse is explicit (the Cauchy walk applies M to many chunk
+    matrices, so a factorization would re-solve constantly); it is built
+    by :func:`_middle_inverse`'s block elimination — exactly the
+    structure the Fortran ``formk`` factorizes."""
     S, Y, valid, theta = hist
     m = S.shape[0]
     dtype = S.dtype
@@ -190,8 +201,7 @@ def _build_middle(hist: _History):
     L = jnp.tril(SY, k=-1)
     SS = matmat(S, S.T)
     SS = SS + jnp.diag(jnp.where(valid, jnp.zeros((m,), dtype), jnp.ones((m,), dtype)))
-    MM = jnp.block([[-jnp.diag(D), L.T], [L, theta * SS]])
-    return Wt, _equilibrated_inv(MM)
+    return Wt, _middle_inverse(D, L, theta * SS)
 
 
 def _cauchy_point(x, g, lower, upper, Wt, M, theta, chunk: int = 256):
@@ -207,7 +217,12 @@ def _cauchy_point(x, g, lower, upper, Wt, M, theta, chunk: int = 256):
     ``dt * p``, and f1/f2 prefix sums given those — so one trip retires K
     segments with a few (2m, K) matmuls and cumsums, and the stop test
     becomes a prefix-AND.  Same algorithm, reassociated (f32 sums within a
-    chunk accumulate in a different order than the scalar walk)."""
+    chunk accumulate in a different order than the scalar walk).
+
+    The walk gathers the K needed values per trip (measured negative
+    result: pre-gathering g/z/W into full breakpoint order once per
+    iteration is 3.4x SLOWER — full-width minor-axis permute-gathers on
+    (2m, n) dwarf the per-trip K-element gathers they replace)."""
     n = x.shape[-1]
     dtype = x.dtype
     eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
@@ -221,16 +236,31 @@ def _cauchy_point(x, g, lower, upper, Wt, M, theta, chunk: int = 256):
     )
     d0 = jnp.where(t_break > 0.0, -g, jnp.zeros_like(g))
 
-    # variables with t_i <= 0 are fixed from the start and never examined
+    # variables with t_i <= 0 are fixed from the start and never examined.
+    # One two-operand sort yields BOTH the sorted keys and the permutation:
+    # `keys[argsort(keys)]` re-gathers with scattered indices on the minor
+    # axis, which the profiler showed at ~6.5 ms per iteration at n=10k —
+    # 10x the sort itself.
     keys = jnp.where(t_break > 0.0, t_break, jnp.inf)
-    order = jnp.argsort(keys)
-    t_sorted = keys[order]
+    t_sorted, order = lax.sort(
+        (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
 
     K = min(chunk, n)
     L = ((n + K - 1) // K) * K
     pad = L - n
+    bound_vec = jnp.where(d0 > 0.0, upper, lower)
+    z = bound_vec - x
     t_pad = jnp.concatenate([t_sorted, jnp.full((pad,), jnp.inf, dtype)])
     ord_pad = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
+    # one packed array -> ONE per-trip gather for (g, z, W) instead of three
+    GZW = jnp.concatenate([g[None, :], z[None, :], Wt], axis=0)
+    # prefix sums as a triangular-ones matmul: jnp.cumsum lowers to an
+    # O(K^2) reduce_window on the VPU; the MXU does the same contraction
+    # in microseconds (HIGHEST keeps it exact-f32)
+    U_incl = jnp.triu(jnp.ones((K, K), dtype))
+
+    def prefix(v):
+        return matmat(v, U_incl) if v.ndim == 2 else matvec(U_incl.T, v)
 
     def seg_min(f1, f2):
         return jnp.where(
@@ -251,14 +281,12 @@ def _cauchy_point(x, g, lower, upper, Wt, M, theta, chunk: int = 256):
     def body(carry):
         j0, cnt, c, p, f1, f2, dt_min, t_old, full = carry
         t_b = lax.dynamic_slice(t_pad, (j0,), (K,))             # (K,)
-        idx = lax.dynamic_slice(ord_pad, (j0,), (K,))           # (K,)
+        idx = lax.dynamic_slice(ord_pad, (j0,), (K,))
+        gzw = GZW[:, idx]                                       # (2m+2, K)
+        gb = gzw[0]
+        zb = gzw[1]
+        Wb = gzw[2:]                                            # (2m, K)
         finite = jnp.isfinite(t_b)
-
-        gb = g[idx]
-        d0b = d0[idx]
-        bound_b = jnp.where(d0b > 0.0, upper[idx], lower[idx])
-        zb = bound_b - x[idx]
-        Wb = Wt[:, idx]                                         # (2m, K)
 
         t_prev = jnp.concatenate([t_old[None], t_b[:-1]])
         # non-finite breakpoints are never processed (prefix mask below);
@@ -266,29 +294,29 @@ def _cauchy_point(x, g, lower, upper, Wt, M, theta, chunk: int = 256):
         dt = jnp.where(finite, t_b - t_prev, jnp.zeros((), dtype))
 
         GW = Wb * gb[None, :]
-        csGW = jnp.cumsum(GW, axis=1)
+        csGW = prefix(GW)
         Pexc = p[:, None] + (csGW - GW)          # p BEFORE segment j
-        Cj = c[:, None] + jnp.cumsum(Pexc * dt[None, :], axis=1)  # c AFTER c += dt p
+        Cj = c[:, None] + prefix(Pexc * dt[None, :])  # c AFTER c += dt p
 
-        MC = matmat(M, Cj)                                      # (2m, K)
-        MP = matmat(M, Pexc)
-        MW = matmat(M, Wb)
-        a = jnp.sum(Wb * MC, axis=0)             # w_j . M c_j
-        bq = jnp.sum(Wb * MP, axis=0)            # w_j . M p_j
-        e = jnp.sum(Wb * MW, axis=0)             # w_j . M w_j
+        MCPW = matmat(M, jnp.concatenate([Cj, Pexc, Wb], axis=1))  # (2m, 3K)
+        a = jnp.sum(Wb * MCPW[:, :K], axis=0)            # w_j . M c_j
+        bq = jnp.sum(Wb * MCPW[:, K:2 * K], axis=0)      # w_j . M p_j
+        e = jnp.sum(Wb * MCPW[:, 2 * K:], axis=0)        # w_j . M w_j
 
         r = theta * gb * gb + 2.0 * gb * bq + gb * gb * e       # f2 decrement
         q = gb * gb + theta * gb * zb - gb * a                  # f1 increment
-        F2exc = f2 - (jnp.cumsum(r) - r)         # f2 BEFORE segment j
-        F1inc = f1 + jnp.cumsum(dt * F2exc + q)  # f1 AFTER segment j
-        F2inc = f2 - jnp.cumsum(r)
+        cs_r = prefix(r)
+        F2exc = f2 - (cs_r - r)                  # f2 BEFORE segment j
+        F1inc = f1 + prefix(dt * F2exc + q)
+        F2inc = f2 - cs_r
         dtm = seg_min(F1inc, F2inc)
 
         # segment j is processed iff every i <= j passed the walk test
         # (dt_min before i  >=  t_i - t_{i-1})
         dtm_prev = jnp.concatenate([dt_min[None], dtm[:-1]])
         proceed = finite & (dtm_prev >= dt)
-        procmask = jnp.cumprod(proceed.astype(jnp.int32)) == 1
+        # prefix-AND == "no failures so far": one more prefix matmul
+        procmask = prefix(1.0 - proceed.astype(dtype)) < 0.5
         n_proc = jnp.sum(procmask.astype(jnp.int32)).astype(jnp.int32)
 
         oh = (jnp.arange(K) == n_proc - 1).astype(dtype)        # one-hot
@@ -327,7 +355,6 @@ def _cauchy_point(x, g, lower, upper, Wt, M, theta, chunk: int = 256):
     inv_rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     fixed = inv_rank < cnt
     d = jnp.where(fixed, jnp.zeros((), dtype), d0)
-    bound_vec = jnp.where(d0 > 0.0, upper, lower)
 
     dt_min = jnp.maximum(dt_min, 0.0)
     t_cp = t_old + dt_min
@@ -355,12 +382,14 @@ def _subspace_step(x, g, xcp, c, free, lower, upper, hist, Wt, M):
     rF = jnp.where(free, r, jnp.zeros_like(r))
 
     # (B restricted to free)^{-1} r via SMW (paper eq. 5.10):
-    # d = r/theta + W_F (I - M W_F^T W_F/theta)^{-1} M W_F^T r / theta^2
+    # d = r/theta + W_F (MM - W_F^T W_F/theta)^{-1} W_F^T r / theta^2.
+    # (I - M K/theta)^{-1} M  ==  (MM - K/theta)^{-1}, and the right-hand
+    # side is exactly the subspace middle matrix _middle_factors builds
+    # from the free mask — the same block factorization the Fortran formk
+    # maintains, two small unrolled Choleskys instead of a batched LU.
     WtF = Wt * free[None, :]
-    two_m = Wt.shape[0]
-    K = matmat(WtF, WtF.T)
-    N = jnp.eye(two_m, dtype=dtype) - matmat(M, K) / theta
-    v = matvec(_equilibrated_inv(N), matvec(M, matvec(WtF, rF)))
+    mid = _middle_factors(hist, free)
+    v = _mid_solve(mid, matvec(WtF, rF))
     dvec = rF / theta + jnp.where(free, matvec(Wt.T, v), 0.0) / (theta * theta)
     du = -dvec
 
@@ -373,7 +402,14 @@ def _subspace_step(x, g, xcp, c, free, lower, upper, hist, Wt, M):
     steps = jnp.where(jnp.isnan(steps), jnp.inf, steps)
     alpha = jnp.minimum(jnp.asarray(1.0, dtype), jnp.min(steps))
 
-    return xcp + alpha * jnp.where(free, du, jnp.zeros_like(du))
+    # mathematically xbar is already in the box (alpha clips to it), but
+    # fused rounding can leave +-1 ulp of dust on a coordinate sitting
+    # exactly on its bound — the search direction then points epsilon-
+    # outward and the bounded dcsrch's max feasible step collapses to -0.0
+    # (a zero step that trips the factr stall exit at a non-optimum).  The
+    # projection removes the dust exactly.
+    return box_projection(
+        xcp + alpha * jnp.where(free, du, jnp.zeros_like(du)), lower, upper)
 
 
 def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
@@ -436,7 +472,7 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
         dtype = c.x.dtype
         Wt, M = _build_middle(c.hist)
         xcp, cc, free = _cauchy_point(
-            c.x, c.g, lower, upper, Wt, M, c.hist.theta
+            c.x, c.g, lower, upper, Wt, M, c.hist.theta, chunk=cfg.gcp_chunk
         )
         xbar = _subspace_step(
             c.x, c.g, xcp, cc, free, lower, upper, c.hist, Wt, M

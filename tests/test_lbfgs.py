@@ -259,3 +259,62 @@ def test_lbfgsb_lockstep_batch_matches_single():
         np.testing.assert_allclose(batched.x[i], single.x, atol=0)
         assert batched.iterations[i] == single.iterations
         assert batched.status[i] == single.status
+
+
+def test_lbfgsb_gcp_chunk_invariance():
+    # the chunked generalized-Cauchy-point walk must examine breakpoints in
+    # exactly the sorted order regardless of chunk size: K=1 degenerates to
+    # the one-segment-per-trip walk, K>n to a single chunk.  Bound-rich
+    # setup (minimum far outside a tight box) so the sweep crosses many
+    # breakpoints.
+    n = 60
+    rng = np.random.RandomState(0)
+    d = jnp.asarray(rng.uniform(0.5, 50.0, n))
+    target = jnp.asarray(rng.uniform(2.0, 4.0, n) * np.sign(rng.randn(n)))
+    oracle = make_oracle(lambda x: 0.5 * jnp.sum(d * (x - target) ** 2))
+    lower = jnp.full(n, -1.0)
+    upper = jnp.full(n, 1.0)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, n))
+
+    results = [
+        lbfgsb_minimize(
+            oracle, x0, lower, upper,
+            LbfgsbConfig(m=5, pgtol=1e-8, factr=10.0, max_iter=200,
+                         gcp_chunk=k),
+        )
+        for k in (1, 7, 64, 256)
+    ]
+    ref = results[0]
+    assert ref.status == Status.CONVERGED
+    # active bounds at the solution prove the walk actually fixed variables
+    assert int(jnp.sum(jnp.abs(jnp.abs(ref.x) - 1.0) < 1e-9)) > n // 2
+    for res in results[1:]:
+        np.testing.assert_allclose(res.x, ref.x, rtol=0, atol=1e-12)
+        assert int(res.iterations) == int(ref.iterations)
+        assert int(res.status) == int(ref.status)
+
+
+def test_lbfgsb_no_stall_on_bound_dust():
+    # regression: under jit, fused rounding can leave ~1e-18 of "dust" on a
+    # direction coordinate sitting exactly on its bound; the bounded dcsrch
+    # max-feasible-step then collapses to -0.0 and the factr stall test
+    # exits CONVERGED at a non-optimum.  Found by hypothesis (seed 1209,
+    # n=5 quadratic); fixed by box-projecting the subspace step's xbar.
+    n, seed = 5, 1209
+    rng = np.random.RandomState(seed)
+    q, _ = np.linalg.qr(rng.randn(n, n))
+    eigs = np.logspace(0, 2.0, n)
+    Q = jnp.asarray((q * eigs) @ q.T)
+    x0 = jnp.asarray(rng.uniform(-5, 5, n))
+
+    def f(x):
+        return 0.5 * x @ Q @ x
+
+    rng2 = np.random.RandomState(seed + 2)
+    lo = jnp.asarray(np.sort(rng2.uniform(-3, 0, n)))
+    hi = jnp.asarray(np.sort(rng2.uniform(0.5, 3, n)))
+    cfg = LbfgsbConfig(m=5, pgtol=1e-8, factr=10.0, max_iter=500)
+    res = lbfgsb_minimize(make_oracle(f), x0, lo, hi, cfg)
+    assert res.status == Status.CONVERGED
+    # stalled runs returned f ~ 1.46 after 6 iterations
+    assert float(res.f) < 1e-10

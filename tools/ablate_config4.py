@@ -43,7 +43,7 @@ inputs = [jnp.asarray(rng.uniform(-0.5, 0.5, (B, n)), DTYPE) for _ in range(3)]
 
 orig_cauchy = L._cauchy_point
 orig_sub = L._subspace_step
-orig_inv = L._equilibrated_inv
+orig_inv = getattr(L, "_equilibrated_inv", None)  # removed from the solver
 orig_mid = L._build_middle
 
 
@@ -140,6 +140,7 @@ def build(variant):
     elif variant == "no_subspace":
         L._subspace_step = stub_sub
     elif variant == "no_inv":
+        assert orig_inv is not None, "no_inv ablation needs _equilibrated_inv"
         L._equilibrated_inv = stub_inv
     elif variant == "no_middle":
         L._build_middle = stub_mid
@@ -148,7 +149,8 @@ def build(variant):
     finally:
         L._cauchy_point = orig_cauchy
         L._subspace_step = orig_sub
-        L._equilibrated_inv = orig_inv
+        if orig_inv is not None:
+            L._equilibrated_inv = orig_inv
         L._build_middle = orig_mid
 
     if variant == "no_ls":

@@ -9,7 +9,12 @@ after any kernel/spec change:
     python tools/hw_sweep.py        # ~10-40 min of remote compiles cold;
                                     # fast when /tmp/jax_cache is warm
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -36,7 +36,8 @@ b = jnp.linspace(-1.0, 1.0, rows).astype(DTYPE)
 oracle = make_oracle(problems.log_sum_exp(A, b))
 lower = jnp.full((n,), -1.0, DTYPE)
 upper = jnp.full((n,), 1.0, DTYPE)
-cfg = LbfgsbConfig(m=10, pgtol=1e-5, factr=1e3, max_iter=200)
+cfg = LbfgsbConfig(m=10, pgtol=1e-5, factr=1e3, max_iter=200,
+                   gcp_chunk=int(os.environ.get("C4_CHUNK", 256)))
 solve = jax.jit(lambda x0: lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg))
 
 rng = np.random.RandomState(4)
