@@ -37,7 +37,7 @@ def test_two_process_dp_and_tp_solves():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)  # compiles crawl on a loaded host
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

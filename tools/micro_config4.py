@@ -1,5 +1,13 @@
 """Micro-bench of candidate slow ops at config-4 shapes, each inside a
-fori_loop of REPS trips in a single dispatch (per-op time = total/REPS)."""
+fori_loop of REPS trips in a single dispatch (per-op time = total/REPS).
+
+CAVEATS (learned the hard way; prefer tools/trace_config4.py's xprof
+op-level trace for real attribution):
+  * the ``acc + out.ravel()[:1]`` consumer lets XLA dead-code-eliminate
+    most of each op (a gather whose output is sliced to one element
+    simplifies to a tiny gather) — numbers here are lower bounds;
+  * at REPS=50 the ~30 ms relay dispatch floor contributes ~0.65 ms/rep
+    to every row; subtract the cheapest row before comparing."""
 
 import json
 import os
