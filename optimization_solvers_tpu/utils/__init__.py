@@ -14,7 +14,7 @@ from optimization_solvers_tpu.utils.checkpoint import (
     save_state,
     save_state_orbax,
 )
-from optimization_solvers_tpu.utils.profiling import trace, wall_timer
+from optimization_solvers_tpu.utils.profiling import op_profile, trace, wall_timer
 
 __all__ = [
     "LogFormat",
@@ -29,4 +29,5 @@ __all__ = [
     "load_state_orbax",
     "trace",
     "wall_timer",
+    "op_profile",
 ]

@@ -4,6 +4,7 @@ differentiable (implicit) solves."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from optimization_solvers_tpu import linesearch as ls, solvers
 from optimization_solvers_tpu.core import problems
@@ -226,3 +227,34 @@ def test_checkpoint_orbax_roundtrip_and_resume(tmp_path):
         c2 = step_fn(c2)
     np.testing.assert_allclose(c2.x, c_ref.x, atol=0)
     assert int(c2.k) == int(c_ref.k) == 20
+
+
+def test_op_profile_reports_ops(tmp_path):
+    # the xprof-backed op-level breakdown must attribute device/host time
+    # to named ops of a jitted computation (the tool behind the config-4
+    # hot-loop rebuild, BENCH_NOTES round 2)
+    pytest.importorskip("xprof")
+    import jax
+    import jax.numpy as jnp
+
+    from optimization_solvers_tpu.utils import op_profile
+
+    @jax.jit
+    def fn(a):
+        def body(_, acc):
+            return jnp.tanh(acc @ a) * 0.5 + acc * 0.5
+        return jax.lax.fori_loop(0, 50, body, a).sum()
+
+    x = jnp.ones((512, 512))
+    fn(x)  # warm
+    rows = op_profile(fn, x, trace_dir=str(tmp_path / "prof"))
+    assert rows, "empty op table"
+    assert all({"self_us", "occurrences", "name"} <= set(r) for r in rows)
+    # on a real device the table names the dot/fusion ops; the CPU backend
+    # sometimes reports only IDLE for small programs — require named ops
+    # only when any non-IDLE row exists
+    named = [r for r in rows if r["type"] not in (None, "IDLE")]
+    if named:
+        names = " ".join(str(r["name"]) + str(r["type"]) for r in named)
+        assert ("dot" in names or "tanh" in names or "fusion" in names
+                or "while" in names)
