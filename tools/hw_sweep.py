@@ -58,6 +58,9 @@ COMBOS = [
     ("LBFGS+BT", solvers.LBFGS(tol=1e-4, m=5), ls.BackTracking(), False),
     ("Newton+NoSearch", solvers.Newton(tol=1e-8), ls.NoSearch(), False),
     ("PN+BTB", solvers.ProjectedNewton(grad_tol=1e-4), ls.BackTrackingB(), True),
+    # SPN reports WARN conv ~0.79 here: the unfused (reference-semantics)
+    # path measures the same 0.785 on this problem — f32 BB-step cycling
+    # is an algorithm property, not a kernel bug
     ("SPN+BTB", solvers.SpectralProjectedNewton(grad_tol=1e-4), ls.BackTrackingB(), True),
 ]
 
