@@ -253,7 +253,13 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                 go = active & jnp.isfinite(t_b) & (dt_min >= t_b - t_old)
                 gof = go.astype(dtype)
 
-                dt = t_b - t_old
+                # lanes with no finite breakpoint left have t_b = +inf;
+                # their masked update `gof * dt * pvec` would still compute
+                # 0 * inf = NaN and poison cvec permanently (reachable with
+                # free infinite-bound coordinates: zb below stays finite
+                # because only finite breakpoints are ever selected, but dt
+                # must be zeroed explicitly)
+                dt = jnp.where(go, t_b - t_old, jnp.zeros((1, T), dtype))
                 gb = jnp.sum(G[...] * onehot, axis=0, keepdims=True)
                 db = jnp.sum(dgc[...] * onehot, axis=0, keepdims=True)
                 ub_b = jnp.sum(up * onehot, axis=0, keepdims=True)

@@ -135,7 +135,23 @@ def _mid_solve(mid: _Mid, ab: jax.Array) -> jax.Array:
     return jnp.concatenate([u, v], axis=-1)
 
 
-def _middle_factors(hist: _History, free=None) -> _Mid:
+def _grams(hist: _History):
+    """Shared history Gram pieces: patched curvature diagonal D,
+    chronological strictly-lower L, and the raw S S^T table — computed
+    once per outer iteration and consumed by both :func:`_build_middle`
+    and :func:`_middle_factors` (they are three (m, n) x (n, m) HIGHEST
+    matmuls each; recomputing them doubled the dispatches in the
+    while-loop body)."""
+    S, Y, valid, theta = hist
+    D = jnp.sum(S * Y, axis=1)                              # (m,)
+    D = jnp.where(valid, D, jnp.ones_like(D))
+    SY = matmat(S, Y.T)                                     # SY[i,j] = s_i . y_j
+    L = jnp.tril(SY, k=-1)
+    SS = matmat(S, S.T)
+    return D, L, SS
+
+
+def _middle_factors(hist: _History, free=None, grams=None) -> _Mid:
     """Factor the middle matrix ``MM = [[-D, L^T],[L, theta S^T S]]``
     (paper eq. 3.3), or — given a free-variable mask — the subspace matrix
     ``MM - W_F^T W_F / theta`` used by the SMW solve (paper eq. 5.10ff).
@@ -144,11 +160,7 @@ def _middle_factors(hist: _History, free=None) -> _Mid:
     S, Y, valid, theta = hist
     m = S.shape[0]
     dtype = S.dtype
-    D = jnp.sum(S * Y, axis=1)                              # (m,)
-    D = jnp.where(valid, D, jnp.ones_like(D))
-    SY = matmat(S, Y.T)                                     # SY[i,j] = s_i . y_j
-    L = jnp.tril(SY, k=-1)
-    SS = matmat(S, S.T)
+    D, L, SS = _grams(hist) if grams is None else grams
     if free is None:
         E = jnp.diag(D)
         G = L.T
@@ -184,7 +196,7 @@ def _middle_inverse(D, Lm, H):
     return jnp.block([[TL, JU.T], [JU, J]])
 
 
-def _build_middle(hist: _History):
+def _build_middle(hist: _History, grams=None):
     """W (as rows: (2m, n)) and the dense middle inverse M = MM^{-1}.
 
     The inverse is explicit (the Cauchy walk applies M to many chunk
@@ -195,11 +207,7 @@ def _build_middle(hist: _History):
     m = S.shape[0]
     dtype = S.dtype
     Wt = jnp.concatenate([Y, theta * S], axis=0)            # (2m, n)
-    D = jnp.sum(S * Y, axis=1)
-    D = jnp.where(valid, D, jnp.ones_like(D))
-    SY = matmat(S, Y.T)
-    L = jnp.tril(SY, k=-1)
-    SS = matmat(S, S.T)
+    D, L, SS = _grams(hist) if grams is None else grams
     SS = SS + jnp.diag(jnp.where(valid, jnp.zeros((m,), dtype), jnp.ones((m,), dtype)))
     return Wt, _middle_inverse(D, L, theta * SS)
 
@@ -303,8 +311,19 @@ def _cauchy_point(x, g, lower, upper, Wt, M, theta, chunk: int = 256):
         bq = jnp.sum(Wb * MCPW[:, K:2 * K], axis=0)      # w_j . M p_j
         e = jnp.sum(Wb * MCPW[:, 2 * K:], axis=0)        # w_j . M w_j
 
-        r = theta * gb * gb + 2.0 * gb * bq + gb * gb * e       # f2 decrement
-        q = gb * gb + theta * gb * zb - gb * a                  # f1 increment
+        # mask BEFORE the prefix matmuls: entries past the finite
+        # breakpoints carry zb = +-inf (infinite bounds) and would
+        # NaN-poison every lane of the chunk through the triangular-ones
+        # contraction (0 * inf); they are never processed (prefix-AND
+        # below), so zeroing their increments is exact
+        r = jnp.where(
+            finite,
+            theta * gb * gb + 2.0 * gb * bq + gb * gb * e,      # f2 decrement
+            jnp.zeros((), dtype))
+        q = jnp.where(
+            finite,
+            gb * gb + theta * gb * zb - gb * a,                 # f1 increment
+            jnp.zeros((), dtype))
         cs_r = prefix(r)
         F2exc = f2 - (cs_r - r)                  # f2 BEFORE segment j
         F1inc = f1 + prefix(dt * F2exc + q)
@@ -319,14 +338,20 @@ def _cauchy_point(x, g, lower, upper, Wt, M, theta, chunk: int = 256):
         procmask = prefix(1.0 - proceed.astype(dtype)) < 0.5
         n_proc = jnp.sum(procmask.astype(jnp.int32)).astype(jnp.int32)
 
-        oh = (jnp.arange(K) == n_proc - 1).astype(dtype)        # one-hot
+        oh = jnp.arange(K) == n_proc - 1                        # one-hot
         some = n_proc > 0
 
+        # mask-then-sum (not multiply-by-one-hot): a legitimate +inf at a
+        # NON-selected lane (seg_min past the stop index) would otherwise
+        # produce inf * 0 = NaN
         def sel_vec(arr, default):                              # (2m, K) -> (2m,)
-            return jnp.where(some, jnp.sum(arr * oh[None, :], axis=1), default)
+            picked = jnp.sum(
+                jnp.where(oh[None, :], arr, jnp.zeros((), dtype)), axis=1)
+            return jnp.where(some, picked, default)
 
         def sel(arr, default):                                  # (K,) -> ()
-            return jnp.where(some, jnp.sum(arr * oh), default)
+            picked = jnp.sum(jnp.where(oh, arr, jnp.zeros((), dtype)))
+            return jnp.where(some, picked, default)
 
         c_out = sel_vec(Cj, c)
         p_out = sel_vec(p[:, None] + csGW, p)
@@ -370,7 +395,7 @@ def _cauchy_point(x, g, lower, upper, Wt, M, theta, chunk: int = 256):
     return xcp, c, free
 
 
-def _subspace_step(x, g, xcp, c, free, lower, upper, hist, Wt, M):
+def _subspace_step(x, g, xcp, c, free, lower, upper, hist, Wt, M, grams=None):
     """Direct primal subspace minimization (paper §5.1) with SMW inverse;
     returns the search point ``xbar`` (free coords moved, alpha-clipped to
     the box)."""
@@ -388,7 +413,7 @@ def _subspace_step(x, g, xcp, c, free, lower, upper, hist, Wt, M):
     # from the free mask — the same block factorization the Fortran formk
     # maintains, two small unrolled Choleskys instead of a batched LU.
     WtF = Wt * free[None, :]
-    mid = _middle_factors(hist, free)
+    mid = _middle_factors(hist, free, grams=grams)
     v = _mid_solve(mid, matvec(WtF, rF))
     dvec = rF / theta + jnp.where(free, matvec(Wt.T, v), 0.0) / (theta * theta)
     du = -dvec
@@ -470,12 +495,13 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
 
     def step_fn(c: _Carry):
         dtype = c.x.dtype
-        Wt, M = _build_middle(c.hist)
+        grams = _grams(c.hist)
+        Wt, M = _build_middle(c.hist, grams)
         xcp, cc, free = _cauchy_point(
             c.x, c.g, lower, upper, Wt, M, c.hist.theta, chunk=cfg.gcp_chunk
         )
         xbar = _subspace_step(
-            c.x, c.g, xcp, cc, free, lower, upper, c.hist, Wt, M
+            c.x, c.g, xcp, cc, free, lower, upper, c.hist, Wt, M, grams=grams
         )
         d = xbar - c.x
 

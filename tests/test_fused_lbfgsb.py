@@ -86,3 +86,32 @@ def test_fused_lbfgsb_scaled_ill_conditioned():
     assert float(jnp.max(res.f)) < 1e-12
     # results come back in the original coordinates
     assert float(jnp.max(jnp.abs(res.x))) < 1e-6
+
+
+def test_fused_lbfgsb_mixed_infinite_bounds():
+    # guards the mixed one-sided-bounds geometry end-to-end (the XLA
+    # chunked walk had a real CONVERGED-at-x0 bug here, fixed in
+    # solvers/lbfgsb.py); the kernel's masked Cauchy-walk update
+    # `gof * dt * pvec` now zeroes dt on lanes whose remaining
+    # breakpoints are all +inf so 0 * inf cannot enter cvec
+    d = jnp.asarray([3.0, 10.0, 1.0, 5.0, 2.0])
+    target = jnp.asarray([4.0, -7.0, 9.0, -3.0, 6.0])
+
+    def f(x, dd, tt):
+        return 0.5 * jnp.sum(dd * (x - tt) ** 2)
+
+    lower = jnp.asarray([-1.0, -1.0, -1.0, -jnp.inf, -jnp.inf])
+    upper = jnp.asarray([1.0, 1.0, 1.0, jnp.inf, jnp.inf])
+    x0 = jnp.zeros((4, 5)) + jnp.asarray(
+        np.random.RandomState(2).uniform(-0.5, 0.5, (4, 5)))
+    # lane 0 starts ON the bounded coords' optimal bounds (their t_break
+    # is <= 0, so its only breakpoints are the infinite-bound coords' +inf
+    # ones) while the other lanes walk finite breakpoints — the staggered
+    # mix that executes the masked dt = inf update
+    x0 = x0.at[0].set(jnp.asarray([1.0, -1.0, 1.0, 0.3, -0.2]))
+    res = lbfgsb_solve_fused(
+        f, x0, lower, upper, consts=(d, target),
+        m=5, pgtol=1e-6, factr=10.0, max_iter=300, tile=4, interpret=True)
+    assert int((res.status == Status.CONVERGED).sum()) == 4
+    expect = np.tile([1.0, -1.0, 1.0, -3.0, 6.0], (4, 1))
+    np.testing.assert_allclose(np.asarray(res.x), expect, atol=1e-4)

@@ -318,3 +318,26 @@ def test_lbfgsb_no_stall_on_bound_dust():
     assert res.status == Status.CONVERGED
     # stalled runs returned f ~ 1.46 after 6 iterations
     assert float(res.f) < 1e-10
+
+
+def test_lbfgsb_mixed_infinite_bounds():
+    # regression: the chunked Cauchy-point walk computed q with
+    # zb = bound - x = +-inf for coordinates whose breakpoint is infinite
+    # (one-sided/absent bounds); the 0 * inf in the prefix matmul and the
+    # one-hot selection NaN-poisoned the whole chunk and the solver exited
+    # CONVERGED at the initial point.  api.Lbfgsb defaults bounds to
+    # +-inf, so any partially-bounded problem hits this path.
+    n = 5
+    d = jnp.asarray([3.0, 10.0, 1.0, 5.0, 2.0])
+    target = jnp.asarray([4.0, -7.0, 9.0, -3.0, 6.0])
+    oracle = make_oracle(lambda x: 0.5 * jnp.sum(d * (x - target) ** 2))
+    lower = jnp.asarray([-1.0, -1.0, -1.0, -jnp.inf, -jnp.inf])
+    upper = jnp.asarray([1.0, 1.0, 1.0, jnp.inf, jnp.inf])
+    x0 = jnp.zeros(n)
+    cfg = LbfgsbConfig(m=5, pgtol=1e-8, factr=10.0, max_iter=200)
+    res = lbfgsb_minimize(oracle, x0, lower, upper, cfg)
+    assert res.status == Status.CONVERGED
+    # bounded coords pinned at their bounds, free coords at the target
+    expect = jnp.asarray([1.0, -1.0, 1.0, -3.0, 6.0])
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(expect),
+                               atol=1e-6)
