@@ -146,3 +146,42 @@ def test_hager_zhang_b_feasible(seed, n):
     x_new = x + t * d
     assert bool(jnp.all(x_new >= lo - 1e-10))
     assert bool(jnp.all(x_new <= hi + 1e-10))
+
+
+@settings(max_examples=15, deadline=None)
+@given(_seed, _dim)
+def test_lbfgsb_mixed_infinite_bounds_matches_scipy(seed, n):
+    """Random mixed finite/+-inf bound patterns against scipy's (Fortran-
+    ancestry) L-BFGS-B — the geometry class where the chunked Cauchy walk
+    NaN-poisoned on 0 * inf (BENCH_NOTES round 2)."""
+    import pytest
+
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    from optimization_solvers_tpu.solvers.lbfgsb import (
+        LbfgsbConfig, lbfgsb_minimize,
+    )
+
+    f, x0 = _problem(seed, n, 2.0)
+    rng = np.random.RandomState(seed + 3)
+    lo = np.where(rng.rand(n) < 0.5, -np.inf,
+                  np.sort(rng.uniform(-3, 0, n)))
+    hi = np.where(rng.rand(n) < 0.5, np.inf,
+                  np.sort(rng.uniform(0.5, 3, n)))
+    cfg = LbfgsbConfig(m=5, pgtol=1e-9, factr=10.0, max_iter=1000)
+    r_jax = lbfgsb_minimize(make_oracle(f), x0, jnp.asarray(lo),
+                            jnp.asarray(hi), cfg)
+    assert int(r_jax.status) == 1
+
+    Q = np.asarray(jax.hessian(f)(jnp.zeros(n)))
+
+    def fg(x):
+        return float(0.5 * x @ Q @ x), Q @ x
+
+    bounds = [(None if not np.isfinite(l) else l,
+               None if not np.isfinite(u) else u) for l, u in zip(lo, hi)]
+    ref_x, ref_f, _info = scipy_opt.fmin_l_bfgs_b(
+        fg, np.asarray(x0, np.float64).copy(), bounds=bounds, m=5,
+        pgtol=1e-9, factr=10.0, maxiter=1000)
+    # strictly convex quadratic: unique minimizer
+    assert abs(float(r_jax.f) - ref_f) < 1e-6 * max(1.0, abs(ref_f))
+    np.testing.assert_allclose(np.asarray(r_jax.x), ref_x, atol=1e-4)
