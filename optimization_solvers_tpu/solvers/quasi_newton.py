@@ -213,30 +213,30 @@ class QuasiNewtonB(_QuasiNewtonCommon, BoundedMethod):
         return d, mstate
 
 
-def BFGS(tol: float = 1e-8) -> QuasiNewton:
-    return QuasiNewton(tol=tol, update="bfgs")
+def BFGS(tol: float = 1e-8, **kw) -> QuasiNewton:
+    return QuasiNewton(tol=tol, update="bfgs", **kw)
 
 
-def DFP(tol: float = 1e-8) -> QuasiNewton:
-    return QuasiNewton(tol=tol, update="dfp")
+def DFP(tol: float = 1e-8, **kw) -> QuasiNewton:
+    return QuasiNewton(tol=tol, update="dfp", **kw)
 
 
-def Broyden(tol: float = 1e-8) -> QuasiNewton:
-    return QuasiNewton(tol=tol, update="broyden")
+def Broyden(tol: float = 1e-8, **kw) -> QuasiNewton:
+    return QuasiNewton(tol=tol, update="broyden", **kw)
 
 
-def BFGSB(tol: float = 1e-8) -> QuasiNewtonB:
-    return QuasiNewtonB(tol=tol, update="bfgs")
+def BFGSB(tol: float = 1e-8, **kw) -> QuasiNewtonB:
+    return QuasiNewtonB(tol=tol, update="bfgs", **kw)
 
 
-def DFPB(tol: float = 1e-8) -> QuasiNewtonB:
-    return QuasiNewtonB(tol=tol, update="dfp")
+def DFPB(tol: float = 1e-8, **kw) -> QuasiNewtonB:
+    return QuasiNewtonB(tol=tol, update="dfp", **kw)
 
 
-def BroydenB(tol: float = 1e-8) -> QuasiNewtonB:
-    return QuasiNewtonB(tol=tol, update="broyden")
+def BroydenB(tol: float = 1e-8, **kw) -> QuasiNewtonB:
+    return QuasiNewtonB(tol=tol, update="broyden", **kw)
 
 
-def SR1B(tol: float = 1e-8) -> QuasiNewtonB:
+def SR1B(tol: float = 1e-8, **kw) -> QuasiNewtonB:
     """SR1 exists only in bounded form in the reference (``lib.rs:60-61``)."""
-    return QuasiNewtonB(tol=tol, update="sr1")
+    return QuasiNewtonB(tol=tol, update="sr1", **kw)

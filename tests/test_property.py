@@ -185,3 +185,47 @@ def test_lbfgsb_mixed_infinite_bounds_matches_scipy(seed, n):
     # strictly convex quadratic: unique minimizer
     assert abs(float(r_jax.f) - ref_f) < 1e-6 * max(1.0, abs(ref_f))
     np.testing.assert_allclose(np.asarray(r_jax.x), ref_x, atol=1e-4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_seed, _dim)
+def test_bounded_families_mixed_infinite_bounds_kkt(seed, n):
+    """Every bounded solver family must stay feasible and satisfy the
+    projected-gradient KKT test under random mixed finite/+-inf bound
+    patterns (the reference only ever exercises finite boxes)."""
+    f, x0 = _problem(seed, n, 1.5)
+    rng = np.random.RandomState(seed + 5)
+    lo = jnp.asarray(np.where(rng.rand(n) < 0.4, -np.inf,
+                              np.sort(rng.uniform(-2, 0, n))))
+    hi = jnp.asarray(np.where(rng.rand(n) < 0.4, np.inf,
+                              np.sort(rng.uniform(0.3, 2, n))))
+    oracle = make_oracle(f, with_hessian=True)
+
+    # kkt=False for the reference-parity bounded QN family: its
+    # s/y-too-close exit (bfgs_b.rs:92-104) can report success at a
+    # non-KKT point when the projected B-metric step stalls on a bound
+    # (observed at seed=50: pg=9.0 after 3 iterations); the
+    # restart_on_degeneracy extension restarts as projected steepest
+    # descent instead and does reach the KKT point
+    cases = [
+        (solvers.ProjectedGradientDescent(grad_tol=1e-6),
+         ls.BackTrackingB(), True),
+        (solvers.SpectralProjectedGradient(grad_tol=1e-6),
+         ls.GLLQuadratic(), True),
+        (solvers.BFGSB(tol=1e-7), ls.BackTrackingB(), False),
+        (solvers.BFGSB(tol=1e-7, restart_on_degeneracy=True),
+         ls.BackTrackingB(), True),
+        (solvers.SR1B(tol=1e-7), ls.BackTrackingB(), False),
+        (solvers.ProjectedNewton(grad_tol=1e-8), ls.BackTrackingB(), True),
+    ]
+    for method, search, kkt in cases:
+        res = solvers.minimize(method, search, oracle, x0,
+                               bounds=(lo, hi), max_iter=3000,
+                               max_iter_ls=40)
+        x = res.x
+        assert bool(jnp.all(jnp.isfinite(x))), type(method).__name__
+        assert bool(jnp.all(x >= lo - 1e-10)), type(method).__name__
+        assert bool(jnp.all(x <= hi + 1e-10)), type(method).__name__
+        if kkt and int(res.status) == 1:
+            pg = x - box_projection(x - res.g, lo, hi)
+            assert float(jnp.max(jnp.abs(pg))) < 1e-4, type(method).__name__
