@@ -229,3 +229,40 @@ def test_bounded_families_mixed_infinite_bounds_kkt(seed, n):
         if kkt and int(res.status) == 1:
             pg = x - box_projection(x - res.g, lo, hi)
             assert float(jnp.max(jnp.abs(pg))) < 1e-4, type(method).__name__
+
+
+@settings(max_examples=10, deadline=None)
+@given(_seed, _dim)
+def test_bounded_searches_return_feasible_steps(seed, n):
+    """Every box-aware line search must return t >= 0 with x + t d inside
+    the box, under random mixed finite/+-inf bound patterns and a
+    projected-gradient direction."""
+    from optimization_solvers_tpu.linesearch.dcsrch import StrongWolfe
+
+    f, x = _problem(seed, n, 2.0)
+    rng = np.random.RandomState(seed + 7)
+    lo = jnp.asarray(np.where(rng.rand(n) < 0.4, -np.inf,
+                              np.sort(rng.uniform(-2, 0, n))))
+    hi = jnp.asarray(np.where(rng.rand(n) < 0.4, np.inf,
+                              np.sort(rng.uniform(0.3, 2, n))))
+    x = box_projection(x, lo, hi)
+    oracle = make_oracle(f)
+    ev = oracle(x)
+    d = box_projection(x - ev.g, lo, hi) - x
+
+    searches = [
+        ls.BackTrackingB(),
+        ls.MoreThuenteB(),
+        ls.HagerZhangB(),
+        StrongWolfe(bounded=True),
+    ]
+    for search in searches:
+        state = (search.init_state(ev)
+                 if hasattr(search, "init_state") else None)
+        t, _ = search.step_len(oracle, x, ev, d, state, (lo, hi), 40)
+        name = type(search).__name__
+        t_f = float(t)
+        assert np.isfinite(t_f) and t_f >= 0.0, (name, t_f)
+        x_new = x + t * d
+        assert bool(jnp.all(x_new >= lo - 1e-9)), name
+        assert bool(jnp.all(x_new <= hi + 1e-9)), name
