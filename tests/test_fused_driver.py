@@ -295,3 +295,34 @@ def test_lbfgs_fused_rosenbrock():
                        max_iter=800, max_iter_ls=40, tile=8, interpret=True)
     f_vals = np.asarray(r.f)
     assert np.all((f_vals < 1e-8) | (np.abs(f_vals - 3.9866) < 1e-2))
+
+
+def test_fused_matches_unfused_random_problems():
+    """Randomized cross-check: the generic fused kernel must reproduce the
+    unfused driver on random rotated SPD quadratics with random mixed
+    finite/infinite boxes — not just the fixed diagonal fixture above.
+    (interpret mode; a handful of seeds to stay fast)"""
+    for seed in (11, 23, 47):
+        rng = np.random.RandomState(seed)
+        q, _ = np.linalg.qr(rng.randn(N, N))
+        Q = jnp.asarray((q * np.logspace(0, 2, N)) @ q.T)
+
+        def fq(x, Qm):
+            return 0.5 * x @ Qm @ x
+
+        lo = jnp.asarray(np.where(rng.rand(N) < 0.3, -np.inf,
+                                  np.sort(rng.uniform(-2, 0, N))))
+        hi = jnp.asarray(np.where(rng.rand(N) < 0.3, np.inf,
+                                  np.sort(rng.uniform(0.3, 2, N))))
+        x0 = jnp.asarray(rng.uniform(-2, 2, (B, N)))
+        method = solvers.SpectralProjectedGradient(grad_tol=1e-6)
+        search = ls.GLLQuadratic()
+        r_ref = solvers.batch_minimize(
+            method, search, make_oracle(fq, data=(Q,)), x0,
+            bounds=(lo, hi), max_iter=3000, max_iter_ls=40, fused=False)
+        r_fus = fused_minimize(
+            method, search, fq, x0, lo, hi, consts=(Q,),
+            max_iter=3000, max_iter_ls=40, tile=16, interpret=True)
+        assert bool(jnp.all(r_fus.status == 1)), seed
+        np.testing.assert_allclose(r_fus.x, r_ref.x, atol=1e-5)
+        np.testing.assert_allclose(r_fus.f, r_ref.f, atol=1e-8)
