@@ -62,13 +62,23 @@ COMBOS = [
     # path measures the same 0.785 on this problem — f32 BB-step cycling
     # is an algorithm property, not a kernel bug
     ("SPN+BTB", solvers.SpectralProjectedNewton(grad_tol=1e-4), ls.BackTrackingB(), True),
+    # mixed finite/+-inf bounds: covers Mosaic lowering of infinite bound
+    # operands (the XLA chunked Cauchy walk had a NaN bug in exactly this
+    # geometry, BENCH_NOTES round 2)
+    ("SPG+GLL-mixedinf", solvers.SpectralProjectedGradient(grad_tol=1e-4), ls.GLLQuadratic(), "mixedinf"),
+    ("BFGSB+BTB-mixedinf", solvers.BFGSB(tol=1e-5), ls.BackTrackingB(), "mixedinf"),
 ]
+
+lo_mixed = lo.at[jnp.arange(0, N, 3)].set(-jnp.inf)
+hi_mixed = hi.at[jnp.arange(1, N, 3)].set(jnp.inf)
 
 ok = fail = 0
 for name, m, s, bounded in COMBOS:
     args = (m, s, quad, x0)
     kw = dict(consts=(d,), max_iter=300, max_iter_ls=30, tile=128)
-    if bounded:
+    if bounded == "mixedinf":
+        kw.update(lower=lo_mixed, upper=hi_mixed)
+    elif bounded:
         kw.update(lower=lo, upper=hi)
     t0 = time.perf_counter()
     try:
