@@ -109,6 +109,28 @@ class _Ctx:
     def clip(self, v):
         return jnp.clip(v, self.lo, self.up)
 
+    def pg_inf_norm(self, X, G):
+        """Reference projected-gradient infinity norm: mask components
+        pushing against an ACTIVE bound (``ls_solver.rs:121-133``), then
+        take ``||.||_inf`` — NOT the projection-arc residual
+        ``||x - P(x - g)||``, which goes to zero for interior points
+        approaching a bound regardless of the gradient there."""
+        at_lo = (X == self.lo) & (G > 0)
+        at_up = (X == self.up) & (G < 0)
+        pg = jnp.where(at_lo | at_up, 0.0, G)
+        return self.max(jnp.abs(pg))
+
+    def max_feasible_step(self, X, d):
+        """Per-lane max step keeping ``X + t d`` in the box:
+        ``min_i (bound_i - x_i)/d_i`` with the Rust NaN-skipping min-fold
+        (``morethuente_b.rs:185-201``); shared by the bounded MT/HZ specs."""
+        pos = (self.up - X) / d
+        neg = (self.lo - X) / d
+        terms = jnp.where(d > 0.0, pos,
+                          jnp.where(d < 0.0, neg, jnp.inf))
+        terms = jnp.where(jnp.isnan(terms), jnp.inf, terms)
+        return -self.max(-terms)  # lane-wise min via the safe reducer
+
     # (rb, n, T) -> (rb, 1, T) halving-tree reduction over the middle axis,
     # for row-chunked matvecs against an (n, n, T) VMEM slab.  Same
     # replicated-layout-accumulator workaround as sum()/max() above.
@@ -205,8 +227,7 @@ class _PGDSpec(_GDSpec):
     bounded = True
 
     def converged(self, st, X, G, Fv, ctx):
-        pg = X - ctx.clip(X - G)
-        return ctx.max(jnp.abs(pg)) < self.tol
+        return ctx.pg_inf_norm(X, G) < self.tol
 
     def direction(self, st, X, G, Fv, active, ctx):
         return ctx.clip(X - G) - X
@@ -327,7 +348,8 @@ class _QNSpec:
         return [((n, n, T), dtype),   # B (approx inverse Hessian, lane-last)
                 ((1, T), dtype),      # s_norm
                 ((1, T), dtype),      # y_norm
-                ((1, T), jnp.int32)]  # consecutive degenerate pairs
+                ((1, T), jnp.int32),  # consecutive degenerate pairs
+                ((1, T), dtype)]      # pending B-reset (restart mode)
 
     def const_arrays(self):
         return ()
@@ -376,7 +398,7 @@ class _QNSpec:
 
     # -- driver hooks -------------------------------------------------------
     def init(self, st, X, G, Fv, ctx):
-        B, sn, yn, stc = st
+        B, sn, yn, stc, pend = st
         for r0 in range(0, ctx.n, self.row_block):
             rb = min(self.row_block, ctx.n - r0)
             B[r0:r0 + rb] = jnp.broadcast_to(
@@ -384,9 +406,10 @@ class _QNSpec:
         sn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
         yn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
         stc[...] = jnp.zeros((1, ctx.T), jnp.int32)
+        pend[...] = jnp.zeros((1, ctx.T), ctx.dtype)
 
     def converged(self, st, X, G, Fv, ctx):
-        B, sn, yn, stc = st
+        B, sn, yn, stc = st[:4]
         gn = jnp.sqrt(ctx.sum(G * G))
         g_small = gn < self.tol
         if self.restart:
@@ -402,12 +425,33 @@ class _QNSpec:
             # descent safeguard: f32 noise can leave B indefinite even with
             # curvature-gated updates; a non-descent direction would make
             # the Armijo tests accept uphill steps (catastrophic under the
-            # non-monotone GLL window) — fall back to steepest descent
-            d = jnp.where(ctx.sum(G * d) < 0.0, d, -G)
+            # non-monotone GLL window) — fall back to steepest descent.
+            # A non-finite B g additionally means last iteration's update
+            # overflowed B: any non-finite slab entry makes its whole
+            # matvec row NaN (inf * 0 = NaN), so this (n, T)-vector check
+            # is EXACT and free — the unfused robust path's
+            # isfinite(B_new) gate without the whole-slab tally (which
+            # measured 5x the kernel, and whose fused-reduce form does
+            # not lower in Mosaic).  Flag it so the next update restarts
+            # from the identity.
+            fin = ctx.sum(jnp.where(jnp.isfinite(d),
+                                    jnp.zeros((), ctx.dtype),
+                                    jnp.ones((), ctx.dtype))) == 0
+            gd = ctx.sum(G * d)
+            d = jnp.where(fin & (gd < 0.0), d, -G)
+            pend = st[4]
+            pend[...] = jnp.where(active & ~fin,
+                                  jnp.ones((), ctx.dtype), pend[...])
         return d
 
     def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
-        B, sn, yn, stc = st
+        B, sn, yn, stc, pend = st
+        # restart mode: a B poisoned by last iteration's overflowed update
+        # is materialized as the identity HERE (the one loop that already
+        # reads and writes every chunk), so the repair costs no extra slab
+        # pass; the intervening direction() already fell back to -g because
+        # a NaN/inf descent test selects the steepest-descent branch
+        pending = pend[...] > 0.5
         eps = 1.2e-7 if ctx.dtype == jnp.float32 else 2.3e-16
         s = X - X_old
         y = G - G_old
@@ -427,6 +471,9 @@ class _QNSpec:
         By = self._matvec(B, y, ctx)
         # at the first update B == I, so the scaled base gives By = gamma*y
         By = jnp.where(scale_cond, gamma * y, By)
+        if self.restart:
+            # pending reset: B is the identity for these lanes
+            By = jnp.where(pending, y, By)
 
         sf = s[None, :, :]
         Byf = By[None, :, :]
@@ -453,6 +500,8 @@ class _QNSpec:
         elif self.update == "broyden":
             Bts = self._rmatvec(B, s, ctx)
             Bts = jnp.where(scale_cond, gamma * s, Bts)
+            if self.restart:
+                Bts = jnp.where(pending, s, Bts)
             Btsf = Bts[None, :, :]
             ok = jnp.abs(sy) > eps * s_norm * y_norm
 
@@ -472,6 +521,14 @@ class _QNSpec:
                 return Bc + (shy_r * shyf) / denom[None]
 
         not_tiny = (s_norm >= self.tol) & (y_norm >= self.tol)
+        if self.restart:
+            # the unfused robust path gates EVERY update type on the
+            # SIGNED curvature (quasi_newton.py _robust_post_step); the
+            # per-type |denominator| gates above are the parity-mode
+            # deviation only — near-zero denominators under the signed
+            # gate produce non-finite updates, repaired below exactly as
+            # the unfused jnp.all(isfinite(B_new)) check would
+            ok = curv_ok
         ok = ok & not_tiny & jnp.isfinite(sy)
         upd = active & ok
         # restart mode: a degenerate pair on an active lane resets B to I
@@ -481,6 +538,9 @@ class _QNSpec:
             rb = min(self.row_block, ctx.n - r0)
             eye_c = self._eye_chunk(r0, rb, ctx)
             Bc = B[r0:r0 + rb]
+            if self.restart:
+                Bc = jnp.where(
+                    pending[None], jnp.broadcast_to(eye_c, Bc.shape), Bc)
             if self.scale_b0:
                 Bc = jnp.where(scale_cond[None], gamma[None] * eye_c, Bc)
             new_c = chunk_update(Bc, r0, rb)
@@ -490,10 +550,22 @@ class _QNSpec:
                     reset[None], jnp.broadcast_to(eye_c, out.shape), out)
             B[r0:r0 + rb] = out
 
+        if self.restart:
+            # the repaired lanes count a stall (one iteration later than
+            # the unfused path's immediate detection, same net behavior:
+            # the intervening direction was already -g) and the flag is
+            # consumed by the materialization above
+            stall_clear = ok & ~pending
+            pend[...] = jnp.where(active, jnp.zeros((), ctx.dtype),
+                                  pend[...])
+        else:
+            stall_clear = ok
+
         sn[...] = jnp.where(active, s_norm, sn[...])
         yn[...] = jnp.where(active, y_norm, yn[...])
         stc[...] = jnp.where(
-            active, jnp.where(ok, jnp.int32(0), stc[...] + 1), stc[...])
+            active, jnp.where(stall_clear, jnp.int32(0), stc[...] + 1),
+            stc[...])
 
 
 class _QNBSpec(_QNSpec):
@@ -504,9 +576,20 @@ class _QNBSpec(_QNSpec):
     bounded = True
 
     def direction(self, st, X, G, Fv, active, ctx):
-        d = ctx.clip(X - self._matvec(st[0], G, ctx)) - X
+        Bg = self._matvec(st[0], G, ctx)
+        d = ctx.clip(X - Bg) - X
         if self.restart:
-            d = jnp.where(ctx.sum(G * d) < 0.0, d, ctx.clip(X - G) - X)
+            # same poisoned-B detection as the unbounded spec — checked on
+            # the raw B g (the clip would silently clamp +-inf into the
+            # box and hide the poison)
+            fin = ctx.sum(jnp.where(jnp.isfinite(Bg),
+                                    jnp.zeros((), ctx.dtype),
+                                    jnp.ones((), ctx.dtype))) == 0
+            gd = ctx.sum(G * d)
+            d = jnp.where(fin & (gd < 0.0), d, ctx.clip(X - G) - X)
+            pend = st[4]
+            pend[...] = jnp.where(active & ~fin,
+                                  jnp.ones((), ctx.dtype), pend[...])
         return d
 
 
@@ -780,16 +863,10 @@ class _PNSpec(_NewtonCommon):
         sn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
         yn[...] = jnp.full((1, ctx.T), jnp.inf, ctx.dtype)
 
-    def _pg_norm(self, X, G, ctx):
-        at_lo = (X == ctx.lo) & (G > 0)
-        at_up = (X == ctx.up) & (G < 0)
-        pg = jnp.where(at_lo | at_up, 0.0, G)
-        return ctx.max(jnp.abs(pg))
-
     def converged(self, st, X, G, Fv, ctx):
         sn, yn = st[5], st[6]
         too_close = (sn[...] < self.tol) | (yn[...] < self.tol)
-        return too_close | (self._pg_norm(X, G, ctx) < self.tol)
+        return too_close | (ctx.pg_inf_norm(X, G) < self.tol)
 
     def direction(self, st, X, G, Fv, active, ctx):
         H = st[0]
@@ -827,14 +904,8 @@ class _SPNSpec(_NewtonCommon):
         l0 = 1.0 / ctx.max(jnp.abs(d0))
         lam[...] = jnp.clip(l0, self.lam_min, self.lam_max)
 
-    def _pg_norm(self, X, G, ctx):
-        at_lo = (X == ctx.lo) & (G > 0)
-        at_up = (X == ctx.up) & (G < 0)
-        pg = jnp.where(at_lo | at_up, 0.0, G)
-        return ctx.max(jnp.abs(pg))
-
     def converged(self, st, X, G, Fv, ctx):
-        return self._pg_norm(X, G, ctx) < self.tol
+        return ctx.pg_inf_norm(X, G) < self.tol
 
     def direction(self, st, X, G, Fv, active, ctx):
         H, lam = st[0], st[5]
@@ -948,7 +1019,9 @@ class _GLLSpec:
         for p in range(self.m - 1):
             fhist[p] = fhist[p + 1]
         fhist[self.m - 1] = Fv[0]
-        f_max = jnp.max(fhist[...], axis=0, keepdims=True)
+        f_max = ctx.max(fhist[...])  # the consts-safe reducer, like every
+        # other axis-0 reduction in this file (plain jnp.max risks the
+        # replicated-layout accumulator Mosaic cannot lower)
 
         f0 = Fv
         g0d = ctx.sum(G * d)
@@ -1035,12 +1108,7 @@ class _MTSpec:
         t_min = jnp.full((1, T), self.t_min0, dtype)
         if self.bounded:
             run_tmax = st[1]
-            pos = (ctx.up - X) / d
-            neg = (ctx.lo - X) / d
-            terms = jnp.where(d > 0.0, pos,
-                              jnp.where(d < 0.0, neg, jnp.inf))
-            terms = jnp.where(jnp.isnan(terms), jnp.inf, terms)
-            cap = -ctx.max(-terms)          # min over the coordinate axis
+            cap = ctx.max_feasible_step(X, d)
             run_tmax[...] = jnp.minimum(run_tmax[...], cap)
             t_max = run_tmax[...]
         else:
@@ -1195,12 +1263,7 @@ class _HZSpec:
         big = float(jnp.finfo(dtype).max)
 
         if self.bounded:
-            pos = (ctx.up - X) / d
-            neg = (ctx.lo - X) / d
-            terms = jnp.where(d > 0.0, pos,
-                              jnp.where(d < 0.0, neg, jnp.inf))
-            terms = jnp.where(jnp.isnan(terms), jnp.inf, terms)
-            t_max = -ctx.max(-terms)                  # (1, T) min over coords
+            t_max = ctx.max_feasible_step(X, d)       # (1, T) min over coords
         else:
             t_max = jnp.full((1, T), jnp.inf, dtype)
 
@@ -1320,7 +1383,7 @@ def _build_specs(method, line_search):
         mspec = _PNSpec(method)
     elif isinstance(method, newton.Newton):
         mspec = _NewtonSpec(method)
-    if isinstance(method, steepest.SpectralProjectedGradient):
+    elif isinstance(method, steepest.SpectralProjectedGradient):
         mspec = _SPGSpec(method)
     elif isinstance(method, steepest.ProjectedGradientDescent):
         mspec = _PGDSpec(method)
@@ -1455,10 +1518,15 @@ def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
 
         finite = jnp.isfinite(Fv[...])
         conv = mspec.converged(m_refs, X[...], G[...], Fv[...], ctx)
+        # precedence matches the unfused driver (_result) except the
+        # documented converged-at-budget deviation: non-converged lanes at
+        # the budget report MAX_ITER_REACHED even if non-finite
         status = jnp.where(
             conv & finite, jnp.int32(Status.CONVERGED),
-            jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
-                      jnp.int32(Status.MAX_ITER_REACHED)),
+            jnp.where(iters[...] >= max_iter,
+                      jnp.int32(Status.MAX_ITER_REACHED),
+                      jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
+                                jnp.int32(Status.MAX_ITER_REACHED))),
         )
         x_out[0] = X[...]
         f_out[...] = Fv[...]
