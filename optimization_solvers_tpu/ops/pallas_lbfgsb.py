@@ -57,7 +57,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
         const_refs = rest[:n_consts]
         (x_out, f_out, it_out, st_out,
          X, G, Fv, Fprev, S, Y, SYt, SSt, Dh, Lc, Sch, theta, validf,
-         iters, tbr, dgc, xcp, fixedm, cvec, pvec, sc1, sc2, ls_t,
+         iters, tbr, dgc, xcp, fixedm, cvec, pvec, sc1, ls_t,
          ls_done) = rest[n_consts:]
         cvals = [r[...] for r in const_refs]
         f_local = (lambda x: f(x, *cvals)) if n_consts else f
@@ -374,7 +374,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                     lq = Lc[q_, p_] if q_ > p_ else jnp.zeros((T,), dtype)
                     Gm[p_][q_] = lq - jnp.sum(YF[p_] * SF[q_], axis=0)
 
-            # lane-wide Cholesky of E into sc2 rows (packed m x m)
+            # lane-wide Cholesky of E (unrolled, Python-list storage)
             Ech = [[None] * m for _ in range(m)]
             for j in range(m):
                 d = E[j][j]
@@ -513,9 +513,13 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
 
             X_new = X[...] + t * d
             f_new, g_new = bvg(X_new)
+            # the gradient check matches the unfused poisoned-step guard
+            # (solvers/lbfgsb.py): finite f with a non-finite gradient
+            # would NaN-poison the next iteration's breakpoints
             ok = (
                 jnp.isfinite(f_new)
                 & jnp.all(jnp.isfinite(X_new), axis=0, keepdims=True)
+                & jnp.all(jnp.isfinite(g_new), axis=0, keepdims=True)
             )
             X_new = jnp.where(ok, X_new, X[...])
             f_new = jnp.where(ok, f_new, Fv[...])
@@ -552,21 +556,28 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                 yy = jnp.sum(y_vec * y_vec, axis=0, keepdims=True)
             accept = active & ok & (sy > curvature_eps * yy)
 
-            # shift the chronological history (static indices only; the
-            # (m, n, T) VMEM copy is trivial next to the oracle work)
+            # shift the chronological history ONLY on accepted pairs
+            # (static indices; the unfused reference keeps history intact
+            # on a rejected step — an unconditional shift would discard one
+            # valid pair per rejection and wipe the model after m of them)
+            acc = accept
             for p in range(m - 1):
-                S[p] = S[p + 1]
-                Y[p] = Y[p + 1]
-                validf[p] = validf[p + 1]
-            S[m - 1] = jnp.where(accept, s_vec, jnp.zeros((n, T), dtype))
-            Y[m - 1] = jnp.where(accept, y_vec, jnp.zeros((n, T), dtype))
-            validf[m - 1] = accept[0].astype(dtype)
-            theta[...] = jnp.where(accept, yy / sy, theta[...])
-            # shift the Gram tables and refresh the new row/column
+                S[p] = jnp.where(acc, S[p + 1], S[p])
+                Y[p] = jnp.where(acc, Y[p + 1], Y[p])
+                validf[p] = jnp.where(acc[0], validf[p + 1], validf[p])
+            S[m - 1] = jnp.where(acc, s_vec, S[m - 1])
+            Y[m - 1] = jnp.where(acc, y_vec, Y[m - 1])
+            validf[m - 1] = jnp.where(
+                acc[0], jnp.ones((T,), dtype), validf[m - 1])
+            theta[...] = jnp.where(acc, yy / sy, theta[...])
+            # shift the Gram tables and refresh the new row/column (for
+            # rejected lanes the refresh recomputes the unchanged entries)
             for p in range(m - 1):
                 for q in range(m - 1):
-                    SYt[p, q] = SYt[p + 1, q + 1]
-                    SSt[p, q] = SSt[p + 1, q + 1]
+                    SYt[p, q] = jnp.where(acc[0], SYt[p + 1, q + 1],
+                                          SYt[p, q])
+                    SSt[p, q] = jnp.where(acc[0], SSt[p + 1, q + 1],
+                                          SSt[p, q])
             for j in range(m):
                 SYt[m - 1, j] = jnp.sum(S[m - 1] * Y[j], axis=0)
                 SYt[j, m - 1] = jnp.sum(S[j] * Y[m - 1], axis=0)
@@ -683,7 +694,6 @@ def lbfgsb_solve_fused(
         pltpu.VMEM((2 * m, T), dtype),   # cvec
         pltpu.VMEM((2 * m, T), dtype),   # pvec
         pltpu.VMEM((4, T), dtype),       # sc1 (f1, f2, t_old, dt_min)
-        pltpu.VMEM((m, T), dtype),       # sc2 (spare)
         pltpu.VMEM((1, T), dtype),       # ls_t
         pltpu.VMEM((1, T), jnp.int32),   # ls_done
     ]
@@ -734,6 +744,9 @@ def lbfgsb_solve_fused(
     return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])
 
 
+_SCALED_WRAPPERS: dict = {}
+
+
 def lbfgsb_solve_fused_scaled(
     f: Callable,
     x0: jax.Array,                  # (B, n)
@@ -763,9 +776,16 @@ def lbfgsb_solve_fused_scaled(
     # the division: an unbatched const broadcast into the per-lane oracle
     # produces a replicated ("implicit dimension") Mosaic layout that the
     # downstream pair-update reduction cannot lower on real TPU (interpret
-    # mode accepts it).
-    def fz(z, s_, *cs):
-        return f(z / (s_[0] + 0.0 * z), *cs)
+    # mode accepts it).  The wrapper is memoized on f: lbfgsb_solve_fused
+    # jit-caches on the static objective's identity, and a fresh closure
+    # per call would force a minutes-long retrace+Mosaic lowering every
+    # call.
+    fz = _SCALED_WRAPPERS.get(f)
+    if fz is None:
+        def fz(z, s_, *cs, _f=f):
+            return _f(z / (s_[0] + 0.0 * z), *cs)
+
+        _SCALED_WRAPPERS[f] = fz
 
     fused_kwargs.setdefault("vmem_limit_bytes", 64 * 1024 * 1024)
     r = lbfgsb_solve_fused(
