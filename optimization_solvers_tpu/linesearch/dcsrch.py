@@ -51,7 +51,12 @@ def _dcstep(stx, fx, dx, sty, fy, dy, stp, fp, dp, brackt, stmin, stmax):
     r1 = p1 / q1
     stpc1 = stx + r1 * (stp - stx)
     stpq1 = stx + ((dx / ((fx - fp) / (stp - stx) + dx)) / 2.0) * (stp - stx)
-    case1 = fp > fx
+    # NaN-safe: a NaN trial value must count as "higher" so the NaN point
+    # becomes the bracket's far end (sty) and the search backtracks toward
+    # stx, exactly how the siblings treat out-of-domain trials — `fp > fx`
+    # is False for NaN and would adopt the NaN point as the best step,
+    # after which the unbracketed extrapolation runs away geometrically
+    case1 = ~(fp <= fx)
     stpf1 = jnp.where(
         jnp.abs(stpc1 - stx) < jnp.abs(stpq1 - stx),
         stpc1,
@@ -121,7 +126,13 @@ def _dcstep(stx, fx, dx, sty, fy, dy, stp, fp, dp, brackt, stmin, stmax):
     dx_n = jnp.where(case1, dx, dp)
 
     stpf = jnp.clip(stpf, stmin, stmax)
-    stpf = jnp.where(jnp.isnan(stpf), stmin, stpf)
+    # NaN trial polynomial (out-of-domain fp/dp): bisect the bracket — the
+    # STEP endpoints are always finite even when their f-values are not,
+    # so this backtracks geometrically toward the best point like the
+    # sibling searches' NaN-shrink
+    mid = stx_n + 0.5 * (sty_n - stx_n)
+    stpf = jnp.where(jnp.isnan(stpf),
+                     jnp.where(new_brackt, mid, stmin), stpf)
     return stx_n, fx_n, dx_n, sty_n, fy_n, dy_n, stpf, new_brackt
 
 
@@ -182,6 +193,9 @@ class StrongWolfe(LineSearch):
         stpmin_g = jnp.asarray(self.stp_min, dtype)
 
         stp0 = jnp.clip(jnp.asarray(1.0, dtype), stpmin_g, stpmax_g)
+        # non-descent guard below zeroes the returned step (done=True exits
+        # with s.stp)
+        stp0 = jnp.where(ginit < 0.0, stp0, jnp.zeros((), dtype))
         width0 = stpmax_g - stpmin_g
         init = _State(
             i=jnp.int32(0),
@@ -194,7 +208,10 @@ class StrongWolfe(LineSearch):
             width1=width0 / 0.5,
             stmin=jnp.zeros((), dtype),
             stmax=stp0 + self.xtrapu * stp0,
-            done=jnp.asarray(False),
+            # MINPACK's 'ERROR: INITIAL G .GE. ZERO' guard: a non-descent
+            # direction returns t = 0 immediately (stx) instead of burning
+            # max_iter oracle evaluations on a search that cannot succeed
+            done=~(ginit < 0.0),
         )
 
         def cond(s: _State):
@@ -244,9 +261,12 @@ class StrongWolfe(LineSearch):
             width1 = jnp.where(brackt, s.width, s.width1)
             width = jnp.where(brackt, jnp.abs(sty - stx), s.width)
 
-            stmin = jnp.where(brackt, jnp.minimum(stx, sty),
+            # fmin/fmax skip NaN endpoints: a NaN (out-of-domain) far end
+            # must not poison the safeguard interval — the search then
+            # keeps shrinking toward the finite best point stx
+            stmin = jnp.where(brackt, jnp.fmin(stx, sty),
                               stp + self.xtrapl * (stp - stx))
-            stmax = jnp.where(brackt, jnp.maximum(stx, sty),
+            stmax = jnp.where(brackt, jnp.fmax(stx, sty),
                               stp + self.xtrapu * (stp - stx))
             stp = jnp.clip(stp, stpmin_g, stpmax_g)
 

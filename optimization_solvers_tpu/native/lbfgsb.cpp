@@ -385,7 +385,7 @@ double dcstep(StepState& s, double stp, double fp, double dp, double stmin,
               double stmax) {
   const double sgnd = dp * (s.dx >= 0 ? 1.0 : -1.0);
   double stpf;
-  if (fp > s.fx) {
+  if (!(fp <= s.fx)) {  // NaN-safe: NaN trial counts as higher
     const double theta = 3.0 * (s.fx - fp) / (stp - s.stx) + s.dx + dp;
     const double sc = std::max({std::fabs(theta), std::fabs(s.dx), std::fabs(dp)});
     double gamma = sc * std::sqrt(std::max(
@@ -452,14 +452,15 @@ double dcstep(StepState& s, double stp, double fp, double dp, double stmin,
     }
   }
 
-  if (fp > s.fx) {
+  if (!(fp <= s.fx)) {  // NaN-safe: NaN trial counts as higher
     s.sty = stp; s.fy = fp; s.dy = dp;
   } else {
     if (sgnd < 0.0) { s.sty = s.stx; s.fy = s.fx; s.dy = s.dx; }
     s.stx = stp; s.fx = fp; s.dx = dp;
   }
   stpf = std::clamp(stpf, stmin, stmax);
-  if (!std::isfinite(stpf)) stpf = stmin;
+  if (!std::isfinite(stpf))
+    stpf = s.brackt ? s.stx + 0.5 * (s.sty - s.stx) : stmin;
   return stpf;
 }
 

@@ -115,7 +115,10 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
         ev_new = _strip(oracle(x_new))
         mstate = method.post_step(mstate, c.x, c.ev, d, t, x_new, ev_new, bounds)
         if callback is not None:
-            jax.debug.callback(callback, c.k, x_new, ev_new.f)
+            # 1-based completed-iteration count, consistent with the
+            # telemetry tracer and the reference's per-iteration events
+            # (ls_solver.rs:82-109)
+            jax.debug.callback(callback, c.k + 1, x_new, ev_new.f)
         elif trace_cb is not None:
             from optimization_solvers_tpu.core.numerics import infinity_norm
 
@@ -224,7 +227,9 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
     raw_f = getattr(oracle, "raw_f", None)
     if raw_f is None or not pallas_driver.fused_supported(method, line_search):
         return None
-    key = (id(raw_f), type(method), type(line_search))
+    # key on the function OBJECT (kept alive by the set): an id() key could
+    # be reused by a new objective after GC and silently mis-route it
+    key = (raw_f, type(method), type(line_search))
     if key in _FUSED_UNSUPPORTED:
         return None
     lower, upper = bounds if bounds is not None else (None, None)
@@ -325,6 +330,22 @@ def batch_minimize(
     lockstep path.  ``batched_bounds=True`` falls back to ``vmap`` of the
     single-instance loop (bounds ride the batch axis there).
     """
+    # validate BEFORE routing: a typo'd kwarg must fail loudly on every
+    # path, not just the lockstep one (the fused path only reads
+    # max_iter/max_iter_ls and would silently drop the rest)
+    unknown = set(kwargs) - {"max_iter", "max_iter_ls", "callback"}
+    if unknown:
+        raise TypeError(
+            f"batch_minimize got unexpected keyword argument(s) "
+            f"{sorted(unknown)}")
+
+    if fused is True and (batched_bounds or kwargs.get("callback") is not None):
+        # an explicit fused request cannot be honored on these paths —
+        # refuse loudly rather than silently benchmarking the fallback
+        raise ValueError(
+            "fused=True is incompatible with batched_bounds/callback "
+            "(the whole-solve kernels have no per-lane bounds or "
+            "per-iteration host hooks)")
     if fused and not batched_bounds and kwargs.get("callback") is None:
         on_tpu = jax.default_backend() == "tpu"
         if fused is True or on_tpu:
@@ -344,11 +365,6 @@ def batch_minimize(
 
         return jax.vmap(solve_one, in_axes=(0, 0))(x0, bounds)
 
-    unknown = set(kwargs) - {"max_iter", "max_iter_ls", "callback"}
-    if unknown:
-        raise TypeError(
-            f"batch_minimize got unexpected keyword argument(s) "
-            f"{sorted(unknown)}")
     return _batch_minimize_lockstep(
         method, line_search, oracle, x0, bounds,
         max_iter=kwargs.get("max_iter", 1000),

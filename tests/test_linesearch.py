@@ -241,3 +241,37 @@ def test_morethuente_unbracketed_extrapolates():
         make_oracle(ros2), jnp.array([-1.2, 1.0]), max_iter=200)
     assert float(res.f) < 1e-12
     np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-6)
+
+
+def test_strong_wolfe_recovers_from_nan_trial():
+    # regression: a NaN first trial used to poison the bracket (case1
+    # `fp > fx` is False for NaN) and the unbracketed extrapolation ran
+    # away geometrically (returned t ~ 5e59); the NaN-safe case test +
+    # bracket-midpoint fallback backtrack to an in-domain improving step
+    # like the sibling searches
+    def f(x):
+        return jnp.where(x[0] < 2.0, (x[0] - 1.5) ** 2, jnp.nan).sum()
+
+    oracle = make_oracle(f)
+    x = jnp.array([0.0])
+    ev = oracle(x)
+    d = jnp.array([4.0])
+    t, _ = ls.StrongWolfe().step_len(oracle, x, ev, d, None, None, 40)
+    xt = x + t * d
+    assert float(t) > 0.0
+    assert float(xt[0]) < 2.0                      # in-domain
+    assert float(oracle(xt).f) < float(ev.f)      # improving
+
+
+def test_strong_wolfe_non_descent_returns_zero_immediately():
+    # MINPACK's INITIAL G >= ZERO guard: an uphill direction returns t=0
+    # without burning max_iter oracle evaluations
+    def f(x):
+        return jnp.sum(x ** 2)
+
+    oracle = make_oracle(f)
+    x = jnp.array([1.0])
+    ev = oracle(x)
+    t, _ = ls.StrongWolfe().step_len(oracle, x, ev, jnp.array([1.0]),
+                                     None, None, 100)
+    assert float(t) == 0.0

@@ -46,7 +46,8 @@ def test_callback_hook_fires():
         callback=lambda k, x, f: seen.append(int(k)),
     )
     assert len(seen) > 0
-    assert seen[0] == 0
+    # 1-based completed-iteration numbering, matching the telemetry tracer
+    assert seen[0] == 1
 
 
 def test_summarize():
