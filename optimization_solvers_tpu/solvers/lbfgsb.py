@@ -94,6 +94,10 @@ class LbfgsbConfig:
     max_iter_ls: int = 20
     ls_c1: float = 1e-3         # Fortran dcsrch ftol
     ls_c2: float = 0.9          # Fortran dcsrch gtol
+    # floor for the curvature acceptance test s.y > eps * y.y; applied as
+    # max(curvature_eps, machine eps of the WORKING dtype) — the f64
+    # default would be vacuous against f32 cancellation noise (the fused
+    # kernel uses the dtype epsilon for the same gate)
     curvature_eps: float = 2.2e-16
     # Fortran ``iprint`` analogue (lbfgsb.rs:146-148, wired through
     # ``api.Lbfgsb.set_verbosity``): >= 1 emits one k/f/||pg||/t tracing
@@ -188,6 +192,10 @@ def _middle_inverse(D, Lm, H):
     direction computation)."""
     dtype = D.dtype
     m = D.shape[-1]
+    # accepted pairs guarantee D > 0; the tiny floor only guards exotic
+    # external callers against a literal divide-by-zero (the old
+    # equilibrated inverse had the same floor)
+    D = jnp.maximum(D, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
     U = Lm / D[None, :]                                     # Lm diag(1/D)
     Sc = H + matmat(U, Lm.T)
     J = spd_solve_small_mat(cholesky_small(Sc), jnp.eye(m, dtype=dtype))
@@ -527,7 +535,8 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
         y = ev_new.g - c.g
         sy = vdot(s, y)
         yy = vdot(y, y)
-        accept = ok & (sy > cfg.curvature_eps * yy)
+        curv_eps = max(cfg.curvature_eps, float(jnp.finfo(dtype).eps))
+        accept = ok & (sy > curv_eps * yy)
         hist = c.hist
         S = jnp.roll(hist.S, -1, axis=0).at[-1].set(s)
         Y = jnp.roll(hist.Y, -1, axis=0).at[-1].set(y)
