@@ -115,7 +115,8 @@ def solve_request(payload: dict) -> dict:
     trace: list = []
 
     def cb(k, x, fv):
-        trace.append({"k": int(k) + 1,
+        # the driver's callback k is already the 1-based completed count
+        trace.append({"k": int(k),
                       "x": [float(v) for v in np.asarray(x)],
                       "f": float(fv)})
 

@@ -62,12 +62,16 @@ def _raise_on_error(result: SolveResult) -> None:
 
 
 @functools.lru_cache(maxsize=128)
-def _cached_solve(method, line_search, oracle, has_bounds: bool,
-                  max_iter: int, max_iter_ls: int):
+def _cached_solve(method, line_search, raw_oracle, has_bounds: bool,
+                  max_iter: int, max_iter_ls: int, traced: bool):
     """Jit-compiled ``(x0, bounds) -> SolveResult`` keyed on the static solve
     config, so repeated facade ``minimize`` calls reuse one compiled
     while-loop instead of retracing per call (methods and line searches are
-    frozen dataclasses, hence hashable; oracles key by identity)."""
+    frozen dataclasses, hence hashable).  Keyed on the RAW user oracle —
+    ensure_oracle happens inside, because a fresh Oracle wrapper per call
+    would miss the cache every time.  ``traced`` keys the OST_LOG=debug
+    state so toggling tracing after a combo is cached takes effect."""
+    oracle = ensure_oracle(raw_oracle)
 
     def run(x0, bounds):
         return _solvers.minimize(
@@ -81,6 +85,24 @@ def _cached_solve(method, line_search, oracle, has_bounds: bool,
 @functools.lru_cache(maxsize=128)
 def _cached_oracle(objective, with_hessian: bool):
     return make_oracle(objective, with_hessian=with_hessian)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_lbfgsb(raw_oracle, cfg, scaled: bool):
+    """Jit-compiled L-BFGS-B solve keyed on (oracle, config); bounds and
+    the preconditioner ride as traced arguments so the same compiled loop
+    serves every box.  Mirrors _cached_solve: an eager call re-traces the
+    whole while-loop per call."""
+    from optimization_solvers_tpu.solvers.lbfgsb import (
+        lbfgsb_minimize,
+        lbfgsb_minimize_scaled,
+    )
+
+    oracle = ensure_oracle(raw_oracle)
+    if scaled:
+        return jax.jit(lambda x0, lo, up, diag: lbfgsb_minimize_scaled(
+            oracle, x0, lo, up, diag, cfg))
+    return jax.jit(lambda x0, lo, up: lbfgsb_minimize(oracle, x0, lo, up, cfg))
 
 
 class _TemplateSolver:
@@ -101,23 +123,26 @@ class _TemplateSolver:
 
     def minimize(self, line_search, oracle, max_iter_solver: int = 1000,
                  max_iter_line_search: int = 100, callback=None) -> None:
-        oracle = ensure_oracle(oracle)
         result = None
         if callback is None:
+            from optimization_solvers_tpu.utils import telemetry
+
             try:
                 solve = _cached_solve(
                     self._method, line_search, oracle,
                     self._bounds is not None,
                     max_iter_solver, max_iter_line_search,
+                    telemetry.debug_enabled(),
                 )
                 result = solve(self.x, self._bounds)
             except TypeError:
-                # unhashable config (e.g. PnormDescent's inverse_p array):
-                # fall back to the eager path
+                # unhashable method config or oracle (defensive: user
+                # Method objects / callables need not be hashable): fall
+                # back to the eager path
                 result = None
         if result is None:
             result = _solvers.minimize(
-                self._method, line_search, oracle, self.x,
+                self._method, line_search, ensure_oracle(oracle), self.x,
                 bounds=self._bounds, max_iter=max_iter_solver,
                 max_iter_ls=max_iter_line_search, callback=callback,
             )
@@ -291,7 +316,16 @@ class Lbfgsb:
         )
         lo = jnp.asarray(self.l, x0.dtype)
         up = jnp.asarray(self.u, x0.dtype)
-        if self.precond_diag is not None:
+        scaled = self.precond_diag is not None
+        try:
+            solve = _cached_lbfgsb(oracle, cfg, scaled)
+        except TypeError:   # unhashable oracle: eager fallback
+            solve = None
+        if solve is not None:
+            result = (solve(x0, lo, up, jnp.asarray(self.precond_diag,
+                                                    x0.dtype))
+                      if scaled else solve(x0, lo, up))
+        elif scaled:
             result = lbfgsb_minimize_scaled(
                 ensure_oracle(oracle), x0, lo, up,
                 jnp.asarray(self.precond_diag, x0.dtype), cfg,
@@ -300,9 +334,14 @@ class Lbfgsb:
             result = lbfgsb_minimize(ensure_oracle(oracle), x0, lo, up, cfg)
         self._result = result
         self.x = result.x
-        if self.max_iter > 0 and int(result.status) == int(Status.MAX_ITER_REACHED):
-            raise MaxIterReached()
-        _raise_on_error(result)
+        if self.max_iter > 0:
+            # a user-set budget raises on exhaustion (lbfgsb.rs:73-75);
+            # with no budget set the internal 10k cap returns the best
+            # iterate instead (the reference would simply keep iterating)
+            _raise_on_error(result)
+        elif int(result.status) not in (int(Status.CONVERGED),
+                                        int(Status.MAX_ITER_REACHED)):
+            _raise_on_error(result)
 
     @property
     def result(self) -> Optional[SolveResult]:
@@ -330,16 +369,33 @@ class OptimizationSolver:
         self.tolerance = tolerance
         self.max_iterations = max_iterations
 
-    def _run(self, method, search, oracle, x0) -> OptimizationResult:
+    def _run(self, method, search, objective, with_hessian,
+             x0) -> OptimizationResult:
+        from optimization_solvers_tpu.utils import telemetry
+
         try:
-            x0_arr = (jnp.asarray(x0, jnp.float64)
-                      if jax.config.jax_enable_x64 else jnp.asarray(x0))
-            solve = _cached_solve(method, search, oracle, False,
-                                  self.max_iterations, 100)
-            result = solve(x0_arr, None)
+            # float cast in BOTH x64 modes: integer inputs would reach
+            # autodiff as int32 on x64-off runtimes and fail confusingly
+            x0_arr = jnp.asarray(
+                x0, jnp.float64 if jax.config.jax_enable_x64
+                else jnp.float32)
+            try:
+                oracle = _cached_oracle(objective, with_hessian)
+                solve = _cached_solve(method, search, oracle, False,
+                                      self.max_iterations, 100,
+                                      telemetry.debug_enabled())
+                result = solve(x0_arr, None)
+            except TypeError:
+                # unhashable objective: uncached path, same semantics
+                result = _solvers.minimize(
+                    method, search,
+                    make_oracle(objective, with_hessian=with_hessian),
+                    x0_arr, max_iter=self.max_iterations, max_iter_ls=100)
             ok = int(result.status) == int(Status.CONVERGED)
+            import numpy as _np
+
             return OptimizationResult(
-                x=[float(v) for v in result.x],
+                x=_np.asarray(result.x).tolist(),   # one bulk readback
                 f_value=float(result.f),
                 gradient_norm=float(jnp.linalg.norm(result.g)),
                 iterations=int(result.iterations),
@@ -358,7 +414,7 @@ class OptimizationSolver:
         return self._run(
             _solvers.GradientDescent(grad_tol=self.tolerance),
             ls.BackTracking(c1=1e-4, beta=0.5),
-            _cached_oracle(objective, False), x0,
+            objective, False, x0,
         )
 
     def solve_bfgs(self, x0: Sequence[float],
@@ -366,7 +422,7 @@ class OptimizationSolver:
         # wasm.rs:133-187: BFGS + MoreThuente
         return self._run(
             _solvers.BFGS(tol=self.tolerance), ls.MoreThuente(),
-            _cached_oracle(objective, False), x0,
+            objective, False, x0,
         )
 
     def solve_newton(self, x0: Sequence[float],
@@ -375,5 +431,5 @@ class OptimizationSolver:
         return self._run(
             _solvers.Newton(tol=self.tolerance),
             ls.BackTracking(c1=1e-4, beta=0.5),
-            _cached_oracle(objective, True), x0,
+            objective, True, x0,
         )
