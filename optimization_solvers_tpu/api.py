@@ -88,11 +88,13 @@ def _cached_oracle(objective, with_hessian: bool):
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_lbfgsb(raw_oracle, cfg, scaled: bool):
+def _cached_lbfgsb(raw_oracle, cfg, scaled: bool, traced: bool):
     """Jit-compiled L-BFGS-B solve keyed on (oracle, config); bounds and
     the preconditioner ride as traced arguments so the same compiled loop
     serves every box.  Mirrors _cached_solve: an eager call re-traces the
-    whole while-loop per call."""
+    whole while-loop per call, and ``traced`` keys the OST_LOG=debug state
+    (make_lbfgsb_step bakes the iteration tracer in at trace time when
+    ``cfg.verbose < 1``, so toggling OST_LOG must miss the cache)."""
     from optimization_solvers_tpu.solvers.lbfgsb import (
         lbfgsb_minimize,
         lbfgsb_minimize_scaled,
@@ -127,6 +129,10 @@ class _TemplateSolver:
         if callback is None:
             from optimization_solvers_tpu.utils import telemetry
 
+            # only the cache LOOKUP may legitimately raise TypeError
+            # (unhashable method config or oracle); a TypeError raised from
+            # the user's objective during tracing must propagate, not
+            # silently re-trace the whole solve on the eager path first
             try:
                 solve = _cached_solve(
                     self._method, line_search, oracle,
@@ -134,12 +140,10 @@ class _TemplateSolver:
                     max_iter_solver, max_iter_line_search,
                     telemetry.debug_enabled(),
                 )
-                result = solve(self.x, self._bounds)
             except TypeError:
-                # unhashable method config or oracle (defensive: user
-                # Method objects / callables need not be hashable): fall
-                # back to the eager path
-                result = None
+                solve = None
+            if solve is not None:
+                result = solve(self.x, self._bounds)
         if result is None:
             result = _solvers.minimize(
                 self._method, line_search, ensure_oracle(oracle), self.x,
@@ -317,8 +321,11 @@ class Lbfgsb:
         lo = jnp.asarray(self.l, x0.dtype)
         up = jnp.asarray(self.u, x0.dtype)
         scaled = self.precond_diag is not None
+        from optimization_solvers_tpu.utils import telemetry
+
         try:
-            solve = _cached_lbfgsb(oracle, cfg, scaled)
+            solve = _cached_lbfgsb(oracle, cfg, scaled,
+                                   telemetry.debug_enabled())
         except TypeError:   # unhashable oracle: eager fallback
             solve = None
         if solve is not None:
@@ -379,13 +386,19 @@ class OptimizationSolver:
             x0_arr = jnp.asarray(
                 x0, jnp.float64 if jax.config.jax_enable_x64
                 else jnp.float32)
+            # narrow try: only the cache lookups may raise TypeError
+            # (unhashable objective); a TypeError from the user's objective
+            # during tracing must not be swallowed into a duplicate eager run
             try:
                 oracle = _cached_oracle(objective, with_hessian)
                 solve = _cached_solve(method, search, oracle, False,
                                       self.max_iterations, 100,
                                       telemetry.debug_enabled())
-                result = solve(x0_arr, None)
             except TypeError:
+                solve = None
+            if solve is not None:
+                result = solve(x0_arr, None)
+            else:
                 # unhashable objective: uncached path, same semantics
                 result = _solvers.minimize(
                     method, search,

@@ -744,7 +744,12 @@ def lbfgsb_solve_fused(
     return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])
 
 
-_SCALED_WRAPPERS: dict = {}
+# objective -> scaled wrapper; weak keys so dynamically-created objectives
+# are not pinned forever (the wrapper closes over f, so a strong dict would
+# keep both alive unboundedly in a long-lived process)
+import weakref
+
+_SCALED_WRAPPERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def lbfgsb_solve_fused_scaled(
@@ -780,12 +785,25 @@ def lbfgsb_solve_fused_scaled(
     # jit-caches on the static objective's identity, and a fresh closure
     # per call would force a minutes-long retrace+Mosaic lowering every
     # call.
-    fz = _SCALED_WRAPPERS.get(f)
+    try:
+        fz = _SCALED_WRAPPERS.get(f)
+    except TypeError:       # non-weakref-able callable: fresh wrapper per call
+        fz = None
     if fz is None:
-        def fz(z, s_, *cs, _f=f):
-            return _f(z / (s_[0] + 0.0 * z), *cs)
+        try:
+            # the wrapper must reference f WEAKLY: a strong capture would
+            # keep the WeakKeyDictionary key alive through its own value
+            # and the entry (plus f's captured arrays) would never collect
+            fref = weakref.ref(f)
 
-        _SCALED_WRAPPERS[f] = fz
+            def fz(z, s_, *cs):
+                return fref()(z / (s_[0] + 0.0 * z), *cs)
+
+            _SCALED_WRAPPERS[f] = fz
+        except TypeError:
+
+            def fz(z, s_, *cs, _f=f):
+                return _f(z / (s_[0] + 0.0 * z), *cs)
 
     fused_kwargs.setdefault("vmem_limit_bytes", 64 * 1024 * 1024)
     r = lbfgsb_solve_fused(

@@ -26,6 +26,7 @@ multi-chip harnesses and benchmarks can jit a single solver step directly.
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Any, NamedTuple
 
 import jax
@@ -215,7 +216,11 @@ def minimize_recorded(
     return _result(final, max_iter), xs, fs
 
 
-_FUSED_UNSUPPORTED: set = set()  # (f id, method type, search type) fallbacks
+# objective -> {(method type, search type)} combos whose fused kernel failed;
+# weak keys so dynamically-created objectives (closures in a loop) and their
+# captured arrays are not pinned forever, while still avoiding the id()-reuse
+# mis-route a plain id-keyed set would have
+_FUSED_UNSUPPORTED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
@@ -227,11 +232,12 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
     raw_f = getattr(oracle, "raw_f", None)
     if raw_f is None or not pallas_driver.fused_supported(method, line_search):
         return None
-    # key on the function OBJECT (kept alive by the set): an id() key could
-    # be reused by a new objective after GC and silently mis-route it
-    key = (raw_f, type(method), type(line_search))
-    if key in _FUSED_UNSUPPORTED:
-        return None
+    key = (type(method), type(line_search))
+    try:
+        if key in _FUSED_UNSUPPORTED.get(raw_f, ()):
+            return None
+    except TypeError:  # non-weakref-able callable: never remembered
+        pass
     lower, upper = bounds if bounds is not None else (None, None)
     try:
         return pallas_driver.fused_minimize(
@@ -245,7 +251,10 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
         # constants"); RuntimeError covers JaxRuntimeError/MosaicError when
         # the kernel fails to COMPILE on the actual hardware — remember and
         # take the lockstep XLA path from now on
-        _FUSED_UNSUPPORTED.add(key)
+        try:
+            _FUSED_UNSUPPORTED.setdefault(raw_f, set()).add(key)
+        except TypeError:  # non-weakref-able callable: retry next call
+            pass
         return None
 
 
