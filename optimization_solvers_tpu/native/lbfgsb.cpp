@@ -583,7 +583,29 @@ int ost_lbfgsb_minimize(int n, int m, double* x, const double* lower,
     for (int i = 0; i < n; ++i) x_new[i] = xk[i] + stp * d[i];
     oracle(x_new.data(), n, &f_t, g_new.data(), user);
 
-    if (std::isfinite(f_t)) {
+    // Fortran mainlb line-search-failure semantics (reference surfaces the
+    // resulting task at lbfgsb.rs:76-84): a forced exit that accepted a
+    // non-descent trial, a zero step, or a poisoned (non-finite) step
+    // restores the previous iterate; with corrections present the history
+    // is discarded and the iteration retried, otherwise ABNORMAL.
+    bool no_move = true;
+    for (int i = 0; i < n; ++i)
+      if (x_new[i] != xk[i]) { no_move = false; break; }
+    // failure = poisoned eval, accepted-worse trial, zero step, or a tiny
+    // forced-exit step whose update underflowed (no representable progress)
+    const bool ls_fail = !std::isfinite(f_t) || f_t > f || stp <= 0.0 ||
+                         no_move;
+    if (ls_fail) {
+      bool had_hist = st.count() > 0;
+      st.S.clear();
+      st.Y.clear();
+      st.theta = 1.0;
+      if (!had_hist) { status = 5; break; }  // ABNORMAL
+      f_prev = kInf;  // disable the stall exit for the retry iteration
+      continue;
+    }
+
+    {
       Vec s_vec(n), y_vec(n);
       for (int i = 0; i < n; ++i) {
         s_vec[i] = x_new[i] - xk[i];
@@ -604,9 +626,6 @@ int ost_lbfgsb_minimize(int n, int m, double* x, const double* lower,
       xk = x_new;
       f = f_t;
       g = g_new;
-    } else {
-      // poisoned step: keep the iterate; the factr test ends the solve
-      f_prev = f;
     }
   }
 

@@ -58,7 +58,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
         (x_out, f_out, it_out, st_out,
          X, G, Fv, Fprev, S, Y, SYt, SSt, Dh, Lc, Sch, theta, validf,
          iters, tbr, dgc, xcp, fixedm, cvec, pvec, sc1, ls_t,
-         ls_done) = rest[n_consts:]
+         ls_done, abn) = rest[n_consts:]
         cvals = [r[...] for r in const_refs]
         f_local = (lambda x: f(x, *cvals)) if n_consts else f
         bvg = _batched_value_and_grad(f_local)
@@ -78,6 +78,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
         validf[...] = jnp.zeros((m, T), dtype)
         theta[...] = jnp.ones((1, T), dtype)
         iters[...] = jnp.zeros((1, T), jnp.int32)
+        abn[...] = jnp.zeros((1, T), jnp.int32)
 
         row_iota = lax.broadcasted_iota(jnp.int32, (n, T), 0)
 
@@ -94,7 +95,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                 jnp.isfinite(Fprev[...])
                 & ((Fprev[...] - Fv[...]) <= f_rtol * fmax)
             )
-            return jnp.isfinite(Fv[...]) & ~done
+            return jnp.isfinite(Fv[...]) & (abn[...] == 0) & ~done
 
         # ------------------------------------------------------------------
         # middle factorization (per outer iteration)
@@ -521,9 +522,25 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                 & jnp.all(jnp.isfinite(X_new), axis=0, keepdims=True)
                 & jnp.all(jnp.isfinite(g_new), axis=0, keepdims=True)
             )
-            X_new = jnp.where(ok, X_new, X[...])
-            f_new = jnp.where(ok, f_new, Fv[...])
-            g_new = jnp.where(ok, g_new, G[...])
+            # Fortran mainlb failure semantics (as in solvers/lbfgsb.py
+            # step_fn): a line search that accepted a non-descent trial, a
+            # zero step, or a poisoned step restores the previous iterate;
+            # lanes with history restart from a wiped model, lanes without
+            # terminate ABNORMAL instead of stall-exiting CONVERGED
+            no_move = jnp.all(X_new == X[...], axis=0, keepdims=True)
+            fail = active & (
+                (~ok) | (f_new > Fv[...]) | (t <= 0.0) | no_move)
+            hh = validf[0][None, :]
+            for p in range(1, m):
+                hh = jnp.maximum(hh, validf[p][None, :])
+            has_hist = hh > 0
+            restart = fail & has_hist
+            abn[...] = jnp.where(
+                fail & ~has_hist, jnp.int32(1), abn[...])
+            keepx = ok & ~fail
+            X_new = jnp.where(keepx, X_new, X[...])
+            f_new = jnp.where(keepx, f_new, Fv[...])
+            g_new = jnp.where(keepx, g_new, G[...])
 
             s_vec = X_new - X[...]
             y_vec = g_new - G[...]
@@ -584,7 +601,23 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                 SSt[m - 1, j] = jnp.sum(S[m - 1] * S[j], axis=0)
                 SSt[j, m - 1] = SSt[m - 1, j]
 
-            Fprev[...] = jnp.where(active, Fv[...], Fprev[...])
+            # history restart on failed lanes: zero S/Y (inert W rows),
+            # invalidate slots, reset theta, clear the Gram tables
+            zrow = jnp.zeros((T,), dtype)
+            for p in range(m):
+                S[p] = jnp.where(restart, 0.0, S[p])
+                Y[p] = jnp.where(restart, 0.0, Y[p])
+                validf[p] = jnp.where(restart[0], zrow, validf[p])
+                for q in range(m):
+                    SYt[p, q] = jnp.where(restart[0], zrow, SYt[p, q])
+                    SSt[p, q] = jnp.where(restart[0], zrow, SSt[p, q])
+            theta[...] = jnp.where(restart, jnp.ones((1, T), dtype),
+                                   theta[...])
+
+            # a restart disables the stall exit for the retry iteration
+            Fprev[...] = jnp.where(
+                restart, jnp.full((1, T), jnp.inf, dtype),
+                jnp.where(active, Fv[...], Fprev[...]))
             X[...] = jnp.where(active, X_new, X[...])
             Fv[...] = jnp.where(active, f_new, Fv[...])
             G[...] = jnp.where(active, g_new, G[...])
@@ -609,10 +642,14 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             & ((Fprev[...] - Fv[...]) <= f_rtol * fmax)
         )
         status = jnp.where(
-            conv & finite,
-            jnp.int32(Status.CONVERGED),
-            jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
-                      jnp.int32(Status.MAX_ITER_REACHED)),
+            abn[...] > 0,
+            jnp.int32(Status.ABNORMAL),
+            jnp.where(
+                conv & finite,
+                jnp.int32(Status.CONVERGED),
+                jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
+                          jnp.int32(Status.MAX_ITER_REACHED)),
+            ),
         )
         x_out[0] = X[...]
         f_out[...] = Fv[...]
@@ -696,6 +733,7 @@ def lbfgsb_solve_fused(
         pltpu.VMEM((4, T), dtype),       # sc1 (f1, f2, t_old, dt_min)
         pltpu.VMEM((1, T), dtype),       # ls_t
         pltpu.VMEM((1, T), jnp.int32),   # ls_done
+        pltpu.VMEM((1, T), jnp.int32),   # abn (abnormal-termination flag)
     ]
     x_out, f_out, it_out, st_out = pl.pallas_call(
         kernel,

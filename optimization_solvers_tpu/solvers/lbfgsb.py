@@ -77,6 +77,11 @@ class _Carry(NamedTuple):
     hist: _History
     f_prev: jax.Array
     k: jax.Array
+    # line search failed with an empty history: terminate with
+    # Status.ABNORMAL at the restored iterate (the Fortran's
+    # ABNORMAL_TERMINATION_IN_LNSRCH, surfaced by the reference at
+    # /root/reference/src/quasi_newton/lbfgsb.rs:76-84)
+    abnormal: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -479,7 +484,8 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
             theta=jnp.asarray(1.0, dtype),
         )
         return _Carry(
-            x0, ev0.f, ev0.g, hist0, jnp.asarray(jnp.inf, dtype), jnp.int32(0)
+            x0, ev0.f, ev0.g, hist0, jnp.asarray(jnp.inf, dtype),
+            jnp.int32(0), jnp.asarray(False),
         )
 
     def converged(c: _Carry):
@@ -499,7 +505,7 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
         return done
 
     def keep_going_fn(c: _Carry):
-        return jnp.isfinite(c.f) & ~converged(c)
+        return jnp.isfinite(c.f) & ~c.abnormal & ~converged(c)
 
     def step_fn(c: _Carry):
         dtype = c.x.dtype
@@ -520,15 +526,32 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
         x_new = c.x + t * d
         ev_new = oracle(x_new)
 
-        # a numerically-poisoned step (non-finite iterate/eval) must not
-        # kill the lane: keep the current point, skip the pair, and let the
-        # factr stall test terminate with the best iterate found
+        # Fortran mainlb line-search-failure semantics (surfaced by the
+        # reference at lbfgsb.rs:76-84): a dcsrch forced exit that accepted
+        # a NON-DESCENT trial (f up), a zero step (bracket collapsed at 0 /
+        # non-descent direction), or a numerically-poisoned step (non-finite
+        # iterate/eval) RESTORES the previous iterate; then, if corrections
+        # exist, the history is discarded and the iteration retried from a
+        # steepest-descent model — otherwise the lane terminates ABNORMAL.
+        # (Before round 3 these edges stall-exited CONVERGED at the worse /
+        # non-stationary iterate via the factr test.)
         ok = jnp.all(jnp.isfinite(x_new)) & jnp.isfinite(ev_new.f) & jnp.all(
             jnp.isfinite(ev_new.g)
         )
-        x_new = jnp.where(ok, x_new, c.x)
+        # failure = poisoned eval, accepted-worse trial, zero step, or a
+        # tiny forced-exit step whose update underflowed (x bitwise
+        # unchanged => no progress is representable: the Fortran's
+        # "rounding errors prevent progress" warning geometry)
+        ls_fail = (
+            (~ok) | (ev_new.f > c.f) | (t <= 0.0) | jnp.all(x_new == c.x)
+        )
+        has_hist = jnp.any(c.hist.valid)
+        restart = ls_fail & has_hist
+        abnormal = c.abnormal | (ls_fail & ~has_hist)
+        x_new = jnp.where(ls_fail, c.x, x_new)
         ev_new = FuncEval(
-            jnp.where(ok, ev_new.f, c.f), jnp.where(ok, ev_new.g, c.g)
+            jnp.where(ls_fail, c.f, ev_new.f),
+            jnp.where(ls_fail, c.g, ev_new.g),
         )
 
         s = x_new - c.x
@@ -548,11 +571,23 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
             valid=jnp.where(accept, valid, hist.valid),
             theta=jnp.where(accept, theta, hist.theta),
         )
+        # history restart on failure: S/Y must be ZEROED, not just
+        # invalidated — invalid slots rely on zero W rows to stay inert
+        hist = _History(
+            S=jnp.where(restart, jnp.zeros_like(hist.S), hist.S),
+            Y=jnp.where(restart, jnp.zeros_like(hist.Y), hist.Y),
+            valid=jnp.where(restart, jnp.zeros_like(hist.valid), hist.valid),
+            theta=jnp.where(restart, jnp.ones_like(hist.theta), hist.theta),
+        )
+        # disable the factr stall test for the retry iteration (f did not
+        # move; the stall exit would otherwise misreport CONVERGED)
+        f_prev = jnp.where(restart, jnp.asarray(jnp.inf, dtype), c.f)
         if trace_cb is not None:
             jax.debug.callback(
                 trace_cb, c.k + 1, ev_new.f,
                 _projected_gradient_norm(x_new, ev_new.g, lower, upper), t)
-        return _Carry(x_new, ev_new.f, ev_new.g, hist, c.f, c.k + 1)
+        return _Carry(x_new, ev_new.f, ev_new.g, hist, f_prev, c.k + 1,
+                      abnormal)
 
     return init_fn, keep_going_fn, step_fn
 
@@ -577,14 +612,20 @@ def lbfgsb_minimize(
 
 
 def _lbfgsb_result(final: "_Carry", cfg: LbfgsbConfig) -> SolveResult:
-    # elementwise, so the same expression serves single and batched carries
+    # elementwise, so the same expression serves single and batched carries.
+    # ABNORMAL takes precedence (the Fortran task string wins over the
+    # iteration budget; abnormal lanes carry a restored finite iterate).
     status = jnp.where(
-        final.k >= cfg.max_iter,
-        jnp.int32(Status.MAX_ITER_REACHED),
+        final.abnormal,
+        jnp.int32(Status.ABNORMAL),
         jnp.where(
-            ~jnp.isfinite(final.f),
-            jnp.int32(Status.OUT_OF_DOMAIN),
-            jnp.int32(Status.CONVERGED),
+            final.k >= cfg.max_iter,
+            jnp.int32(Status.MAX_ITER_REACHED),
+            jnp.where(
+                ~jnp.isfinite(final.f),
+                jnp.int32(Status.OUT_OF_DOMAIN),
+                jnp.int32(Status.CONVERGED),
+            ),
         ),
     )
     return SolveResult(final.x, final.f, final.g, final.k, status)
