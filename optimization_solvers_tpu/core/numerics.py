@@ -90,3 +90,13 @@ def matmat(A: jax.Array, B: jax.Array) -> jax.Array:
     return jnp.einsum(
         "...ij,...jk->...ik", A, B, precision=jax.lax.Precision.HIGHEST
     )
+
+
+def batched_pg_inf_norm(x, g, lower=None, upper=None):
+    """Per-row stationarity measure over a trailing coordinate axis:
+    ``||x - P_box(x - g)||_inf`` (plain ``||g||_inf`` when unbounded) — the
+    Fortran's ``sbgnrm``, used to fill ``SolveResult.pg_norm`` from the
+    fused kernels' host epilogues."""
+    if lower is None:
+        return jnp.max(jnp.abs(g), axis=-1)
+    return jnp.max(jnp.abs(x - jnp.clip(x - g, lower, upper)), axis=-1)

@@ -60,6 +60,14 @@ class SolveResult(NamedTuple):
     (``/root/reference/src/wasm.rs:7-14``: x, f_value, gradient_norm,
     iterations, success, error_message) with device-friendly fields.
     All leaves batch under ``vmap``.
+
+    ``pg_norm`` surfaces per-lane STATIONARITY at exit: the infinity norm
+    of the projected gradient ``x - P_box(x - g)`` (plain ``||g||_inf``
+    when unbounded).  The bounded quasi-Newton family inherits the
+    reference's s/y-stall early exit (``bfgs_b.rs:92-104``), which can
+    report success at a non-KKT point — this field makes those lanes
+    visible to callers instead of burying them in a benchmark statistic.
+    ``None`` on paths that predate the field (external pytrees).
     """
 
     x: jax.Array           # final iterate, (n,)
@@ -67,6 +75,7 @@ class SolveResult(NamedTuple):
     g: jax.Array           # gradient at x
     iterations: jax.Array  # int32 completed solver iterations (reference `k`)
     status: jax.Array      # int32 Status code
+    pg_norm: Optional[jax.Array] = None  # ||x - P(x - g)||_inf at exit
 
     @property
     def converged(self) -> jax.Array:
@@ -75,3 +84,10 @@ class SolveResult(NamedTuple):
     @property
     def g_norm(self) -> jax.Array:
         return jnp.linalg.norm(self.g, axis=-1)
+
+    def stationary(self, tol: float) -> jax.Array:
+        """Per-lane KKT check at ``tol``: projected-gradient infinity norm
+        below ``tol`` (requires ``pg_norm``; raises if absent)."""
+        if self.pg_norm is None:
+            raise ValueError("this SolveResult carries no pg_norm")
+        return self.pg_norm <= tol

@@ -59,3 +59,19 @@ class LineSearch:
 
     def step_len(self, oracle, x, ev, d, state, bounds: Bounds, max_iter: int):
         raise NotImplementedError
+
+    def step_len_ev(self, oracle, x, ev, d, state, bounds: Bounds,
+                    max_iter: int):
+        """``(t, state, x_new, ev_new)``: the accepted step, updated search
+        state, the accepted iterate, and its full evaluation.
+
+        The reference template re-evaluates the oracle at the accepted point
+        after every search (``ls_solver.rs:93-99`` via the per-solver state
+        refresh, e.g. ``bfgs.rs:98``) even though the search's last trial
+        often just computed it.  Searches that evaluate the full ``(f, g)``
+        per trial (StrongWolfe/dcsrch, Hager-Zhang) override this to return
+        the trial evaluation directly — one whole oracle evaluation saved
+        per solver iteration.  The default covers value-only searches."""
+        t, state = self.step_len(oracle, x, ev, d, state, bounds, max_iter)
+        x_new = x + t * d
+        return t, state, x_new, oracle(x_new)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.numerics import dot as vdot
+from optimization_solvers_tpu.core.types import FuncEval
 from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch
 
 
@@ -152,6 +153,11 @@ class _State(NamedTuple):
     stmin: jax.Array
     stmax: jax.Array
     done: jax.Array
+    # raw (f, g) at the step the search will RETURN: the current trial's
+    # evaluation on a Wolfe/forced exit, the best point stx's on exhaustion
+    # — so callers get the accepted FuncEval without a duplicate oracle call
+    f_ret: jax.Array
+    g_ret: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,6 +177,12 @@ class StrongWolfe(LineSearch):
     xtrapu: float = 4.0
 
     def step_len(self, oracle, x, ev, d, state, bounds: Bounds, max_iter: int):
+        t, state, _, _ = self.step_len_ev(
+            oracle, x, ev, d, state, bounds, max_iter)
+        return t, state
+
+    def step_len_ev(self, oracle, x, ev, d, state, bounds: Bounds,
+                    max_iter: int):
         dtype = x.dtype
         c1 = jnp.asarray(self.c1, dtype)
         c2 = jnp.asarray(self.c2, dtype)
@@ -212,6 +224,8 @@ class StrongWolfe(LineSearch):
             # direction returns t = 0 immediately (stx) instead of burning
             # max_iter oracle evaluations on a search that cannot succeed
             done=~(ginit < 0.0),
+            f_ret=f0,
+            g_ret=ev.g,
         )
 
         def cond(s: _State):
@@ -276,6 +290,15 @@ class StrongWolfe(LineSearch):
             )
             stp = jnp.where(give_up, stx, stp)
 
+            # the returned eval tracks the returned step: the CURRENT trial
+            # on a finish exit (accepted step = s.stp = the point evaluated
+            # this trip), and whichever trial stx last adopted otherwise
+            # (exhaustion returns stx; a bitwise-equal stx means the same
+            # point, so the stale value is identical)
+            sel_ev = finish | (stx != s.stx)
+            f_ret = jnp.where(sel_ev, f, s.f_ret)
+            g_ret = jnp.where(sel_ev, ev_t.g, s.g_ret)
+
             # freeze everything once finished; the accepted step is s.stp
             return _State(
                 i=s.i + 1,
@@ -293,9 +316,11 @@ class StrongWolfe(LineSearch):
                 stmin=jnp.where(finish, s.stmin, stmin),
                 stmax=jnp.where(finish, s.stmax, stmax),
                 done=finish,
+                f_ret=f_ret,
+                g_ret=g_ret,
             )
 
         out = lax.while_loop(cond, body, init)
         # on exhaustion return the best step found (stx), not the live trial
         t = jnp.where(out.done, out.stp, out.stx)
-        return t, state
+        return t, state, x + t * d, FuncEval(out.f_ret, out.g_ret)

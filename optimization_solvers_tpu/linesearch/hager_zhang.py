@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.numerics import dot as vdot
+from optimization_solvers_tpu.core.types import FuncEval
 from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch
 
 # mode tags for the flattened state machine
@@ -66,6 +67,12 @@ class HagerZhang(LineSearch):
         return jnp.asarray(jnp.inf, dtype)
 
     def step_len(self, oracle, x, ev, d, state, bounds: Bounds, max_iter: int):
+        t, state, _, _ = self.step_len_ev(
+            oracle, x, ev, d, state, bounds, max_iter)
+        return t, state
+
+    def step_len_ev(self, oracle, x, ev, d, state, bounds: Bounds,
+                    max_iter: int):
         dtype = x.dtype
         t_max = self._t_max(x, d, bounds, dtype)
         delta = jnp.asarray(self.delta, dtype)
@@ -78,10 +85,6 @@ class HagerZhang(LineSearch):
         d0 = vdot(ev.g, d)  # phi'(0)
         f_eps = f0 + jnp.asarray(self.eps, dtype) * jnp.abs(f0)
 
-        def phi(t):
-            ev_t = oracle(x + t * d)
-            return ev_t.f, vdot(ev_t.g, d)
-
         def accept(t, ft, dt):
             # standard Wolfe (T1) OR approximate Wolfe (T2), plus the
             # f <= f0 + eps_k membership required for T2.
@@ -92,12 +95,14 @@ class HagerZhang(LineSearch):
             return wolfe | approx
 
         def cond(carry):
-            _, _, _, _, _, _, _, _, done, i = carry
+            done, i = carry[-2], carry[-1]
             return (~done) & (i < max_iter)
 
         def body(carry):
-            a, da_, b, c, mode, t_best, f_best, shrink_ref, done, i = carry
-            fc, dc = phi(c)
+            (a, da_, b, c, mode, t_best, f_best, shrink_ref, f_ret, g_ret,
+             done, i) = carry
+            ev_t = oracle(x + c * d)
+            fc, dc = ev_t.f, vdot(ev_t.g, d)
             ok = accept(c, fc, dc)
             # at the feasibility cap and still descending in-domain: the
             # boundary point is the answer (mirrors the bounded searches'
@@ -107,6 +112,12 @@ class HagerZhang(LineSearch):
             better = (fc < f_best) & (c > 0.0)
             t_best = jnp.where(ok, c, jnp.where(better, c, t_best))
             f_best = jnp.where(better, fc, f_best)
+            # the returned eval tracks t_best; i == 0 records the first trial
+            # unconditionally (it IS the t_best fallback min(1, t_max)), so
+            # even an all-rejected search returns the evaluation it made
+            sel_ev = ok | better | (i == 0)
+            f_ret = jnp.where(sel_ev, fc, f_ret)
+            g_ret = jnp.where(sel_ev, ev_t.g, g_ret)
 
             # ---- interval update, identical for every mode -----------------
             # opposite-slope found: [a, c] is a valid bracket
@@ -162,6 +173,8 @@ class HagerZhang(LineSearch):
                 t_best,
                 f_best,
                 keep(shrink_ref, shrink_ref),
+                f_ret,
+                g_ret,
                 frozen,
                 i + 1,
             )
@@ -176,12 +189,14 @@ class HagerZhang(LineSearch):
             jnp.minimum(jnp.asarray(1.0, dtype), t_max),  # t_best fallback
             big,  # f_best
             big,  # shrink_ref
+            f0,  # f_ret (max_iter == 0 degenerate: the t = 0 evaluation)
+            ev.g,  # g_ret
             jnp.asarray(False),
             jnp.int32(0),
         )
         carry = lax.while_loop(cond, body, carry0)
         t = carry[5]
-        return t, state
+        return t, state, x + t * d, FuncEval(carry[8], carry[9])
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,6 +53,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.types import SolveResult, Status
+from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _batched_value,
     _batched_value_and_grad,
@@ -645,7 +646,28 @@ class _LBFGSSpec:
             vj = valid[j][None, :]
             b = rho[j][None, :] * ctx.sum(Y[j] * r) * vj
             r = r + (alphas[j] - b) * S[j]
-        return -r
+        d = -r
+        # descent safeguard with history reset (mirrors solvers/lbfgs.py
+        # LBFGS.direction): any non-finite entry or a non-descent d means
+        # the f32 two-loop model is corrupt — discard it and retry from
+        # steepest descent, like the Fortran mainlb restart.  The finiteness
+        # tally uses the same zero/one-sum trick as the dense-QN restart
+        # (a direct fused-reduce isfinite does not lower in Mosaic).
+        fin = ctx.sum(jnp.where(jnp.isfinite(d),
+                                jnp.zeros((), ctx.dtype),
+                                jnp.ones((), ctx.dtype))) == 0
+        gd = ctx.sum(G * d)
+        ok = fin & (gd < 0.0)
+        bad = active & ~ok
+        d = jnp.where(ok, d, -G)
+        bad_row = bad[0]                         # (T,)
+        zrow = jnp.zeros((ctx.T,), ctx.dtype)
+        for j in range(m):
+            rho[j] = jnp.where(bad_row, zrow, rho[j])
+            valid[j] = jnp.where(bad_row, zrow, valid[j])
+        gamma[...] = jnp.where(bad, jnp.ones((1, ctx.T), ctx.dtype),
+                               gamma[...])
+        return d
 
     def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
         S, Y, rho, valid, gamma = st
@@ -654,7 +676,11 @@ class _LBFGSSpec:
         y = G - G_old
         sy = ctx.sum(s * y)
         yy = ctx.sum(y * y)
-        accept = active & (sy > self.curvature_eps * yy)
+        # dtype-aware curvature floor, as in the L-BFGS-B backends: the f64
+        # default eps is vacuous against f32 cancellation noise
+        eps = max(self.curvature_eps,
+                  1.2e-7 if ctx.dtype == jnp.float32 else 2.3e-16)
+        accept = active & (sy > eps * yy)
         # shift-not-ring, per-lane masked (see pallas_lbfgs docstring rules)
         acc_row = accept[0]                      # (T,)
         for p in range(m - 1):
@@ -1668,4 +1694,6 @@ def fused_minimize(
         it_fin, st_fin = it_fin[:B], st_fin[:B]
     f_host = (lambda x: f(x, *consts)) if consts else f
     _, g_fin = jax.vmap(jax.value_and_grad(f_host))(x_fin)
-    return SolveResult(x_fin, f_fin, g_fin, it_fin, st_fin)
+    return SolveResult(x_fin, f_fin, g_fin, it_fin, st_fin,
+                       pg_norm=batched_pg_inf_norm(x_fin, g_fin,
+                                                   lower, upper))

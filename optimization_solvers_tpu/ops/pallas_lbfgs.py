@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.types import SolveResult, Status
+from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 
 
 def _batched_value_and_grad(f: Callable):
@@ -288,4 +289,5 @@ def lbfgs_solve_fused(
     # final gradient for the result object (cheap epilogue outside the kernel)
     f_host = (lambda x: f(x, *consts)) if consts else f
     _, g_final = jax.vmap(jax.value_and_grad(f_host))(x_final)
-    return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])
+    return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0],
+                       pg_norm=batched_pg_inf_norm(x_final, g_final))

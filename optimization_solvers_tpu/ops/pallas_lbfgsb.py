@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.types import SolveResult, Status
+from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _batched_value,
     _batched_value_and_grad,
@@ -779,7 +780,9 @@ def lbfgsb_solve_fused(
     x_final = x_out[0].T
     f_host = (lambda x: f(x, *consts)) if consts else f
     _, g_final = jax.vmap(jax.value_and_grad(f_host))(x_final)
-    return SolveResult(x_final, f_out[0], g_final, it_out[0], st_out[0])
+    return SolveResult(
+        x_final, f_out[0], g_final, it_out[0], st_out[0],
+        pg_norm=batched_pg_inf_norm(x_final, g_final, lower, upper))
 
 
 # objective -> scaled wrapper; weak keys so dynamically-created objectives
@@ -848,5 +851,6 @@ def lbfgsb_solve_fused_scaled(
         fz, x0 * s[None, :], lower * s, upper * s, (s[None, :], *consts),
         **fused_kwargs
     )
+    # pg_norm stays in the SCALED metric (the metric pgtol acts in)
     return SolveResult(r.x / s[None, :], r.f, r.g * s[None, :],
-                       r.iterations, r.status)
+                       r.iterations, r.status, pg_norm=r.pg_norm)

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.types import SolveResult, Status
+from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _batched_value,
     _batched_value_and_grad,
@@ -373,5 +374,6 @@ def newton_cg_solve_fused(
     x_final = x_out[0].T[:B]
     f_host = (lambda x: f(x, *consts)) if consts else f
     _, g_final = jax.vmap(jax.value_and_grad(f_host))(x_final)
-    return SolveResult(x_final, f_out[0][:B], g_final, it_out[0][:B],
-                       st_out[0][:B])
+    return SolveResult(
+        x_final, f_out[0][:B], g_final, it_out[0][:B], st_out[0][:B],
+        pg_norm=batched_pg_inf_norm(x_final, g_final, lower, upper))

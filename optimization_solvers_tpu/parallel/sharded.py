@@ -33,7 +33,7 @@ from optimization_solvers_tpu.solvers.driver import batch_minimize
 def _result_specs(axis: str):
     return SolveResult(
         x=P(axis, None), f=P(axis), g=P(axis, None),
-        iterations=P(axis), status=P(axis),
+        iterations=P(axis), status=P(axis), pg_norm=P(axis),
     )
 
 

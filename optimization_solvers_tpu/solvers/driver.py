@@ -109,11 +109,13 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
         # the duplicate value/grad work is dead-code-eliminated by XLA
         ev_dir = oracle(c.x) if needs_h else c.ev
         d, mstate = method.direction(c.mstate, c.x, ev_dir, bounds)
-        t, ls_state = line_search.step_len(
+        # step_len_ev returns the accepted iterate's evaluation so searches
+        # that already evaluated it (dcsrch, Hager-Zhang) skip the duplicate
+        # oracle call the reference template pays (ls_solver.rs:93-99)
+        t, ls_state, x_new, ev_new = line_search.step_len_ev(
             oracle, c.x, c.ev, d, c.ls_state, bounds, max_iter_ls
         )
-        x_new = c.x + t * d
-        ev_new = _strip(oracle(x_new))
+        ev_new = _strip(ev_new)
         mstate = method.post_step(mstate, c.x, c.ev, d, t, x_new, ev_new, bounds)
         if callback is not None:
             # 1-based completed-iteration count, consistent with the
@@ -130,7 +132,8 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
     return init_fn, keep_going_fn, step_fn
 
 
-def _result(final: SolverCarry, max_iter: int) -> SolveResult:
+def _result(final: SolverCarry, max_iter: int,
+            bounds: Bounds = None) -> SolveResult:
     status = jnp.where(
         final.k >= max_iter,
         jnp.int32(Status.MAX_ITER_REACHED),
@@ -140,7 +143,20 @@ def _result(final: SolverCarry, max_iter: int) -> SolveResult:
             jnp.int32(Status.CONVERGED),
         ),
     )
-    return SolveResult(final.x, final.ev.f, final.ev.g, final.k, status)
+    return SolveResult(final.x, final.ev.f, final.ev.g, final.k, status,
+                       pg_norm=_pg_norm(final.x, final.ev.g, bounds))
+
+
+def _pg_norm(x, g, bounds: Bounds):
+    """Exit-time stationarity measure for SolveResult.pg_norm: projected-
+    gradient infinity norm (plain ``||g||_inf`` unbounded)."""
+    from optimization_solvers_tpu.core.numerics import (
+        box_projection, infinity_norm)
+
+    if bounds is None:
+        return infinity_norm(g)
+    lower, upper = bounds
+    return infinity_norm(x - box_projection(x - g, lower, upper))
 
 
 def minimize(
@@ -175,7 +191,7 @@ def minimize(
         return (c.k < max_iter) & keep_going_fn(c)
 
     final = lax.while_loop(cond, step_fn, init_fn(x0))
-    return _result(final, max_iter)
+    return _result(final, max_iter, bounds)
 
 
 def minimize_recorded(
@@ -213,7 +229,7 @@ def minimize_recorded(
     final, (xs, fs) = lax.scan(scan_body, c0, None, length=max_iter)
     xs = jnp.concatenate([c0.x[None], xs], axis=0)
     fs = jnp.concatenate([c0.ev.f[None], fs], axis=0)
-    return _result(final, max_iter), xs, fs
+    return _result(final, max_iter, bounds), xs, fs
 
 
 # objective -> {(method type, search type)} combos whose fused kernel failed;
@@ -221,6 +237,56 @@ def minimize_recorded(
 # captured arrays are not pinned forever, while still avoiding the id()-reuse
 # mis-route a plain id-keyed set would have
 _FUSED_UNSUPPORTED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# objective -> {probe key: bool} — AOT compile-probe verdicts (see
+# _probe_fused); caches the expensive standalone kernel compiles
+_FUSED_PROBED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _probe_fused(method, line_search, raw_f, x0, bounds, consts, kwargs):
+    """AOT compile-probe of the fused kernel at ROUTE time.
+
+    When ``batch_minimize`` is traced under an OUTER ``jit``, a Mosaic
+    kernel-compile failure would surface at the outer compile — outside any
+    try/except here — so the lockstep fallback could never fire.  Probing
+    with ``jit(...).lower(shapes).compile()`` forces the kernel compile NOW
+    (with abstract inputs of the same shapes), where it IS catchable.
+    Verdicts are cached per (objective, combo, shapes, budgets)."""
+    from optimization_solvers_tpu.ops import pallas_driver
+
+    def aval(v):
+        return jax.ShapeDtypeStruct(jnp.shape(v), jnp.result_type(v))
+
+    pkey = (
+        type(method), method, type(line_search), line_search,
+        jnp.shape(x0), str(jnp.result_type(x0)), bounds is not None,
+        kwargs.get("max_iter", 1000), kwargs.get("max_iter_ls", 100),
+    )
+    try:
+        cache = _FUSED_PROBED.setdefault(raw_f, {})
+    except TypeError:          # non-weakref-able callable: probe per call
+        cache = {}
+    verdict = cache.get(pkey)
+    if verdict is None:
+        lo_s = up_s = None
+        if bounds is not None:
+            lo_s, up_s = aval(bounds[0]), aval(bounds[1])
+
+        def run(x_, lo_, up_, cs):
+            return pallas_driver.fused_minimize(
+                method, line_search, raw_f, x_, lo_, up_, consts=cs,
+                max_iter=kwargs.get("max_iter", 1000),
+                max_iter_ls=kwargs.get("max_iter_ls", 100),
+            )
+
+        try:
+            jax.jit(run).lower(
+                aval(x0), lo_s, up_s, tuple(aval(c) for c in consts)
+            ).compile()
+            verdict = True
+        except (ValueError, RuntimeError):
+            verdict = False
+        cache[pkey] = verdict
+    return verdict
 
 
 def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
@@ -239,10 +305,17 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
     except TypeError:  # non-weakref-able callable: never remembered
         pass
     lower, upper = bounds if bounds is not None else (None, None)
+    consts = getattr(oracle, "data", ())
+    if isinstance(x0, jax.core.Tracer):
+        # under an outer jit the except below cannot catch kernel-compile
+        # errors (they surface at the OUTER compile): decide via AOT probe
+        if not _probe_fused(method, line_search, raw_f, x0, bounds, consts,
+                            kwargs):
+            return None
     try:
         return pallas_driver.fused_minimize(
             method, line_search, raw_f, x0, lower, upper,
-            consts=getattr(oracle, "data", ()),
+            consts=consts,
             max_iter=kwargs.get("max_iter", 1000),
             max_iter_ls=kwargs.get("max_iter_ls", 100),
         )
@@ -274,18 +347,20 @@ def lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter: int):
         return jnp.where(active.reshape(active.shape + (1,) * (new.ndim - 1)),
                          new, old)
 
+    # the active mask rides the carry so the (potentially expensive) vmapped
+    # keep-going predicate runs ONCE per trip instead of in both cond and
+    # body — it can be oracle-adjacent work (projected-gradient norms)
     def body(s):
-        i, c = s
-        active = alive(c)
+        i, c, active = s
         stepped = jax.vmap(step_fn)(c)
         c = jax.tree.map(lambda nw, od: merge(active, nw, od), stepped, c)
-        return (i + 1, c)
+        return (i + 1, c, alive(c))
 
     def cond(s):
-        i, c = s
-        return (i < max_iter) & jnp.any(alive(c))
+        i, c, active = s
+        return (i < max_iter) & jnp.any(active)
 
-    _, final = lax.while_loop(cond, body, (jnp.int32(0), c0))
+    _, final, _ = lax.while_loop(cond, body, (jnp.int32(0), c0, alive(c0)))
     return final
 
 
@@ -310,7 +385,7 @@ def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
         callback=callback,
     )
     final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter)
-    return jax.vmap(lambda c: _result(c, max_iter))(final)
+    return jax.vmap(lambda c: _result(c, max_iter, bounds))(final)
 
 
 def batch_minimize(

@@ -54,9 +54,14 @@ def two_loop_direction(state: LbfgsState, g: jax.Array) -> jax.Array:
 
 def push_pair(state: LbfgsState, s: jax.Array, y: jax.Array, eps: float) -> LbfgsState:
     """Append (s, y) if the curvature condition ``s.y > eps * ||y||^2`` holds
-    (the Fortran ``setulb`` acceptance test); otherwise leave history as-is."""
+    (the Fortran ``setulb`` acceptance test); otherwise leave history as-is.
+    ``eps`` is floored at the WORKING dtype's machine epsilon — the f64
+    default would be vacuous against f32 cancellation noise and admit pairs
+    that poison the two-loop model (the same dtype-aware gate the three
+    L-BFGS-B backends use)."""
     sy = vdot(s, y)
     yy = vdot(y, y)
+    eps = max(float(eps), float(jnp.finfo(y.dtype).eps))
     accept = sy > eps * yy
     S = jnp.roll(state.S, -1, axis=0).at[-1].set(s)
     Y = jnp.roll(state.Y, -1, axis=0).at[-1].set(y)
@@ -98,7 +103,22 @@ class LBFGS(Method):
         return infinity_norm(ev.g) < self.tol
 
     def direction(self, mstate: LbfgsState, x, ev, bounds: Bounds):
-        return two_loop_direction(mstate, ev.g), mstate
+        d = two_loop_direction(mstate, ev.g)
+        # descent safeguard with history reset: f32 cancellation can leave a
+        # non-descent or non-finite two-loop direction even under
+        # curvature-gated updates; the misleading model is discarded and the
+        # iteration retried from steepest descent — the same repair the
+        # Fortran core applies on a failed line search (mainlb's restart;
+        # surfaced by the reference at lbfgsb.rs:76-84) and the fused
+        # dense-QN restart mode uses
+        ok = jnp.all(jnp.isfinite(d)) & (vdot(ev.g, d) < 0.0)
+        d = jnp.where(ok, d, -ev.g)
+        mstate = mstate._replace(
+            rho=jnp.where(ok, mstate.rho, jnp.zeros_like(mstate.rho)),
+            valid=jnp.where(ok, mstate.valid, jnp.zeros_like(mstate.valid)),
+            gamma=jnp.where(ok, mstate.gamma, jnp.ones_like(mstate.gamma)),
+        )
+        return d, mstate
 
     def post_step(self, mstate: LbfgsState, x, ev, d, t, x_new, ev_new, bounds):
         return push_pair(mstate, x_new - x, ev_new.g - ev.g, self.curvature_eps)

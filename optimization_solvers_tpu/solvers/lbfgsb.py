@@ -520,11 +520,12 @@ def make_lbfgsb_step(oracle, lower: jax.Array, upper: jax.Array,
         d = xbar - c.x
 
         ev_k = FuncEval(c.f, c.g)
-        t, _ = ls.step_len(
+        # the dcsrch search returns the accepted point's evaluation, saving
+        # one full oracle call per outer iteration (the eval-bound cost of
+        # the unfused path)
+        t, _, x_new, ev_new = ls.step_len_ev(
             oracle, c.x, ev_k, d, None, (lower, upper), cfg.max_iter_ls,
         )
-        x_new = c.x + t * d
-        ev_new = oracle(x_new)
 
         # Fortran mainlb line-search-failure semantics (surfaced by the
         # reference at lbfgsb.rs:76-84): a dcsrch forced exit that accepted
@@ -608,10 +609,11 @@ def lbfgsb_minimize(
         return (c.k < cfg.max_iter) & keep_going_fn(c)
 
     final = lax.while_loop(cond, step_fn, init_fn(x0))
-    return _lbfgsb_result(final, cfg)
+    return _lbfgsb_result(final, cfg, lower, upper)
 
 
-def _lbfgsb_result(final: "_Carry", cfg: LbfgsbConfig) -> SolveResult:
+def _lbfgsb_result(final: "_Carry", cfg: LbfgsbConfig,
+                   lower, upper) -> SolveResult:
     # elementwise, so the same expression serves single and batched carries.
     # ABNORMAL takes precedence (the Fortran task string wins over the
     # iteration budget; abnormal lanes carry a restored finite iterate).
@@ -628,7 +630,9 @@ def _lbfgsb_result(final: "_Carry", cfg: LbfgsbConfig) -> SolveResult:
             ),
         ),
     )
-    return SolveResult(final.x, final.f, final.g, final.k, status)
+    return SolveResult(
+        final.x, final.f, final.g, final.k, status,
+        pg_norm=_projected_gradient_norm(final.x, final.g, lower, upper))
 
 
 def lbfgsb_batch_minimize(
@@ -654,7 +658,7 @@ def lbfgsb_batch_minimize(
     init_fn, keep_going_fn, step_fn = make_lbfgsb_step(
         oracle, lower, upper, cfg)
     final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, cfg.max_iter)
-    return _lbfgsb_result(final, cfg)
+    return _lbfgsb_result(final, cfg, lower, upper)
 
 
 def lbfgsb_minimize_scaled(
@@ -696,4 +700,7 @@ def lbfgsb_minimize_scaled(
     r = lbfgsb_minimize(
         Oracle(full, value), x0 * s, lower * s, upper * s, config
     )
-    return SolveResult(r.x / s, r.f, r.g * s, r.iterations, r.status)
+    # pg_norm stays in the SCALED metric: that is the metric pgtol/factr
+    # act in (the whole point of the preconditioning)
+    return SolveResult(r.x / s, r.f, r.g * s, r.iterations, r.status,
+                       pg_norm=r.pg_norm)

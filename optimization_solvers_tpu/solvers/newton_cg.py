@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from optimization_solvers_tpu.core.numerics import infinity_norm
 from optimization_solvers_tpu.core.oracle import ensure_oracle
 from optimization_solvers_tpu.core.types import SolveResult, Status
 
@@ -190,7 +191,10 @@ def make_newton_cg_step(oracle, lower, upper,
             jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
                       jnp.int32(Status.MAX_ITER_REACHED)),
         )
-        return SolveResult(final.x, final.f, final.g, final.k, status)
+        pg = infinity_norm(
+            final.x - jnp.clip(final.x - final.g, lower, upper))
+        return SolveResult(final.x, final.f, final.g, final.k, status,
+                           pg_norm=pg)
 
     return init_fn, keep_going_fn, step_fn, result_fn
 

@@ -207,4 +207,12 @@ def summarize(result: SolveResult) -> dict:
         "f_p50": float(jnp.median(finite_f)),
         "f_max": float(jnp.max(finite_f)),
     }
+    if result.pg_norm is not None:
+        # per-lane stationarity at exit (projected-gradient inf norm):
+        # lets callers separate true KKT convergence from the bounded-QN
+        # family's inherited s/y-stall "successes" (bfgs_b.rs:92-104)
+        pg = jnp.atleast_1d(result.pg_norm)
+        stats["pg_norm_p50"] = float(jnp.median(pg))
+        stats["pg_norm_max"] = float(jnp.max(pg))
+        stats["abnormal"] = int(jnp.sum(status == Status.ABNORMAL))
     return stats

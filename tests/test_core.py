@@ -13,6 +13,7 @@ from optimization_solvers_tpu.core.numerics import (
     rust_min,
 )
 from optimization_solvers_tpu.core.oracle import ensure_oracle, make_oracle
+from optimization_solvers_tpu.core.types import Status
 from optimization_solvers_tpu.core.types import FuncEval
 from optimization_solvers_tpu.core import problems
 
@@ -114,3 +115,56 @@ def test_batch_minimize_with_data_oracle():
     assert int((res.status == 1).sum()) == 4
     np.testing.assert_allclose(np.asarray(res.x), np.zeros((4, 16)),
                                atol=1e-5)
+
+
+def test_solve_result_pg_norm_unbounded():
+    """SolveResult.pg_norm = ||g||_inf for unbounded solves; stationary()
+    agrees with the convergence tolerance."""
+    import jax
+
+    from optimization_solvers_tpu import linesearch as ls, solvers
+    from optimization_solvers_tpu.core.oracle import make_oracle
+
+    oracle = make_oracle(problems.example_gd())
+    res = jax.jit(lambda x0: solvers.minimize(
+        solvers.GradientDescent(grad_tol=1e-7), ls.BackTracking(), oracle,
+        x0, max_iter=500))(jnp.asarray([10.0, -10.0]))
+    assert res.pg_norm is not None
+    np.testing.assert_allclose(float(res.pg_norm),
+                               float(jnp.max(jnp.abs(res.g))))
+    assert bool(res.stationary(1e-7))
+
+
+def test_solve_result_pg_norm_bounded_active():
+    """At an active bound, pg_norm measures the PROJECTED gradient: a lane
+    converged onto the boundary is stationary even with a large raw
+    gradient."""
+    import jax
+
+    from optimization_solvers_tpu.solvers.lbfgsb import (
+        LbfgsbConfig, lbfgsb_minimize)
+    from optimization_solvers_tpu.core.oracle import make_oracle
+
+    # min (x-2)^2 + (y-3)^2 s.t. x,y <= 1 -> (1,1): raw g = (-2, -4)
+    f = problems.shifted_quadratic_2d()
+    res = jax.jit(lambda x0: lbfgsb_minimize(
+        make_oracle(f), x0, jnp.full(2, -10.0), jnp.full(2, 1.0),
+        LbfgsbConfig(pgtol=1e-8, factr=10.0, max_iter=200)))(jnp.zeros(2))
+    assert int(res.status) == int(Status.CONVERGED)
+    assert float(res.pg_norm) <= 1e-8          # KKT at the bound
+    assert float(jnp.max(jnp.abs(res.g))) > 1.0  # raw gradient is NOT small
+    assert bool(res.stationary(1e-8))
+
+
+def test_batch_minimize_pg_norm_per_lane():
+    from optimization_solvers_tpu import linesearch as ls, solvers
+    from optimization_solvers_tpu.core.oracle import make_oracle
+
+    oracle = make_oracle(problems.rosenbrock())
+    x0 = jnp.asarray(np.random.RandomState(0).uniform(-2, 2, (8, 6)))
+    res = solvers.batch_minimize(
+        solvers.LBFGS(tol=1e-7, m=5), ls.MoreThuente(), oracle, x0,
+        max_iter=500)
+    assert res.pg_norm.shape == (8,)
+    conv = np.asarray(res.status) == int(Status.CONVERGED)
+    assert np.all(np.asarray(res.pg_norm)[conv] < 1e-7)

@@ -326,3 +326,43 @@ def test_fused_matches_unfused_random_problems():
         assert bool(jnp.all(r_fus.status == 1)), seed
         np.testing.assert_allclose(r_fus.x, r_ref.x, atol=1e-5)
         np.testing.assert_allclose(r_fus.f, r_ref.f, atol=1e-8)
+
+
+def test_fused_fallback_under_outer_jit(monkeypatch):
+    """A kernel-compile failure must fall back to the lockstep XLA path even
+    when batch_minimize is traced under an OUTER jit: the route-time AOT
+    probe (driver._probe_fused) catches what the inline try/except cannot
+    (the Mosaic error would otherwise surface at the outer compile)."""
+    import jax
+
+    from optimization_solvers_tpu import linesearch as lsm, solvers
+    from optimization_solvers_tpu.core import problems
+    from optimization_solvers_tpu.core.oracle import make_oracle
+    from optimization_solvers_tpu.ops import pallas_driver
+    from optimization_solvers_tpu.solvers import driver as drv
+
+    calls = {"fused": 0}
+
+    def boom(*a, **k):
+        calls["fused"] += 1
+        raise RuntimeError("Mosaic lowering failed (simulated)")
+
+    monkeypatch.setattr(pallas_driver, "fused_minimize", boom)
+    # route as if on TPU so the fused path is attempted
+    monkeypatch.setattr(drv.jax, "default_backend", lambda: "tpu")
+    drv._FUSED_PROBED.clear()
+    drv._FUSED_UNSUPPORTED.clear()
+
+    oracle = make_oracle(problems.example_gd())
+    x0 = jnp.asarray(np.random.RandomState(0).uniform(-3, 3, (4, 2)))
+
+    @jax.jit
+    def solve(x):
+        return solvers.batch_minimize(
+            solvers.GradientDescent(grad_tol=1e-6), lsm.BackTracking(),
+            oracle, x, max_iter=300)
+
+    res = solve(x0)
+    assert calls["fused"] >= 1            # the probe did try the kernel
+    assert np.all(np.asarray(res.status) == 1)
+    assert float(np.max(np.asarray(res.f))) < 1e-10

@@ -275,3 +275,51 @@ def test_strong_wolfe_non_descent_returns_zero_immediately():
     t, _ = ls.StrongWolfe().step_len(oracle, x, ev, jnp.array([1.0]),
                                      None, None, 100)
     assert float(t) == 0.0
+
+
+def test_step_len_ev_matches_fresh_eval():
+    """Searches that return the accepted FuncEval (dcsrch StrongWolfe,
+    Hager-Zhang) must return exactly the evaluation at the accepted point
+    — bitwise equal to a fresh oracle call there (same compiled function,
+    same input)."""
+    import jax
+
+    from optimization_solvers_tpu.core import problems
+    from optimization_solvers_tpu.core.oracle import make_oracle
+
+    oracle = make_oracle(problems.rosenbrock())
+    x = jnp.asarray([-1.2, 1.0, 0.7, -0.3])
+    ev = oracle(x)
+    d = -ev.g
+
+    for search in (ls.StrongWolfe(), ls.HagerZhang()):
+        t, _, x_new, ev_new = jax.jit(
+            lambda x_, ev_, d_, s=search: s.step_len_ev(
+                oracle, x_, ev_, d_, None, None, 50))(x, ev, d)
+        assert float(t) > 0.0
+        fresh = oracle(x_new)
+        # same point, same math — but jit-internal vs standalone compilations
+        # may fuse differently, so compare to reduction-order tolerance
+        np.testing.assert_allclose(np.asarray(ev_new.f),
+                                   np.asarray(fresh.f), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(ev_new.g),
+                                   np.asarray(fresh.g), rtol=1e-12)
+        # and t/state-only callers still work
+        t2, _ = search.step_len(oracle, x, ev, d, None, None, 50)
+        np.testing.assert_array_equal(np.asarray(t2), np.asarray(t))
+
+
+def test_step_len_ev_default_path():
+    """Value-only searches use the base-class default: evaluate once at the
+    accepted point."""
+    from optimization_solvers_tpu.core import problems
+    from optimization_solvers_tpu.core.oracle import make_oracle
+
+    oracle = make_oracle(problems.example_gd())
+    x = jnp.asarray([3.0, -2.0])
+    ev = oracle(x)
+    t, _, x_new, ev_new = ls.BackTracking().step_len_ev(
+        oracle, x, ev, -ev.g, None, None, 50)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x - t * ev.g))
+    fresh = oracle(x_new)
+    np.testing.assert_array_equal(np.asarray(ev_new.f), np.asarray(fresh.f))
