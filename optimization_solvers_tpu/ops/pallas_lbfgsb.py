@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from jax.experimental import pallas as pl
+
 from optimization_solvers_tpu.core.types import SolveResult, Status
 from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.ops.pallas_lbfgs import (
@@ -59,7 +61,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
         (x_out, f_out, it_out, st_out,
          X, G, Fv, Fprev, S, Y, SYt, SSt, Dh, Lc, Sch, theta, validf,
          iters, tbr, dgc, xcp, fixedm, cvec, pvec, sc1, ls_t,
-         ls_done, abn) = rest[n_consts:]
+         ls_done, abn, dvec) = rest[n_consts:]
         cvals = [r[...] for r in const_refs]
         f_local = (lambda x: f(x, *cvals)) if n_consts else f
         bvg = _batched_value_and_grad(f_local)
@@ -508,9 +510,77 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             active = active_mask()
 
             build_middle()
-            free = cauchy_point(active)
-            xbar = subspace(free)
-            d = xbar - X[...]
+
+            # ---- interior FAST PATH (exact-equivalence gate, not a
+            # heuristic): when (a) no coordinate is pinned against a bound
+            # by its gradient, (b) the first GCP segment's model minimizer
+            # precedes the first breakpoint (the walk would consume
+            # nothing, so xcp sits on the unbroken steepest segment and the
+            # free set is every coordinate), and (c) the full quasi-Newton
+            # point x - B^{-1} g lies inside the box (the subspace alpha*
+            # is 1), the BLNZ primal subspace step from the Cauchy point
+            # IS x - B^{-1} g (BLNZ paper section 5.1: the model minimizer
+            # over all-free coordinates is xcp-independent).  The compact
+            # form and the two-loop recursion are exact inverses given the
+            # same pairs and H0 = theta^{-1} I, so the direction comes from
+            # 4m (n, T) passes instead of the walk + the O(m^2) (n, T)
+            # free-set Gram rebuild — measured ~2.4x on the headline where
+            # bounds never activate.  The gate is tile-wide (lockstep).
+            g = G[...]
+            x = X[...]
+            tb = jnp.where(
+                g < 0.0, (x - up) / g,
+                jnp.where(g > 0.0, (x - lo) / g, inf),
+            )
+            blocked = jnp.min(tb, axis=0, keepdims=True) <= 0.0
+            t_first = jnp.min(jnp.where(tb > 0.0, tb, inf), axis=0,
+                              keepdims=True)
+            d0 = jnp.where(tb > 0.0, -g, jnp.zeros((n, T), dtype))
+            p0 = w_dot(d0)
+            Mp0 = mid_solve(p0)
+            pMp = jnp.zeros((1, T), dtype)
+            for r_ in range(2 * m):
+                pMp = pMp + (p0[r_] * Mp0[r_])[None, :]
+            th = theta[...]
+            f1_0 = -jnp.sum(d0 * d0, axis=0, keepdims=True)
+            f2_0 = -th * f1_0 - pMp
+            dt0 = jnp.where(
+                f2_0 > eps_mach, -f1_0 / f2_0,
+                jnp.where(f1_0 < 0.0, inf, jnp.zeros((1, T), dtype)))
+
+            # two-loop d = -B^{-1} g over the same chronological history
+            q = g
+            alphas = [None] * m
+            for j in range(m - 1, -1, -1):
+                vj = (validf[j] > 0).astype(dtype)[None, :]
+                a = (vj / Dh[j][None, :]) * jnp.sum(
+                    S[j] * q, axis=0, keepdims=True)
+                q = q - a * Y[j]
+                alphas[j] = a
+            r_tl = q / th
+            for j in range(m):
+                vj = (validf[j] > 0).astype(dtype)[None, :]
+                b = (vj / Dh[j][None, :]) * jnp.sum(
+                    Y[j] * r_tl, axis=0, keepdims=True)
+                r_tl = r_tl + (alphas[j] - b) * S[j]
+            xn = x - r_tl
+            in_box = jnp.min(
+                jnp.minimum(xn - lo, up - xn), axis=0, keepdims=True) >= 0.0
+            okf = (~blocked) & (dt0 < t_first) & in_box
+            n_slow = jnp.sum((active & ~okf).astype(jnp.int32),
+                             dtype=jnp.int32)
+
+            @pl.when(n_slow == 0)
+            def _fast():
+                # clip only removes +-1 ulp dust (in_box already holds)
+                dvec[...] = jnp.clip(xn, lo, up) - x
+
+            @pl.when(n_slow > 0)
+            def _slow():
+                free = cauchy_point(active)
+                dvec[...] = subspace(free) - X[...]
+
+            d = dvec[...]
             t = line_search(d, active)
 
             X_new = X[...] + t * d
@@ -735,6 +805,7 @@ def lbfgsb_solve_fused(
         pltpu.VMEM((1, T), dtype),       # ls_t
         pltpu.VMEM((1, T), jnp.int32),   # ls_done
         pltpu.VMEM((1, T), jnp.int32),   # abn (abnormal-termination flag)
+        pltpu.VMEM((n, T), dtype),       # dvec (search direction)
     ]
     x_out, f_out, it_out, st_out = pl.pallas_call(
         kernel,
