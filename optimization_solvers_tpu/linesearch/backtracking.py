@@ -19,11 +19,12 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.numerics import box_projection, dot as vdot
-from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch
+from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch, _trial_cb
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +45,7 @@ class BackTracking(LineSearch):
         c1 = jnp.asarray(self.c1, dtype)
         beta = jnp.asarray(self.beta, dtype)
         total_cap = max_iter + self.max_domain_shrinks
+        cb = _trial_cb("BackTracking")
 
         def cond(c):
             t, i, total, done = c
@@ -54,6 +56,8 @@ class BackTracking(LineSearch):
             f_t = oracle.value(x + t * d)
             out = ~jnp.isfinite(f_t)
             accept = (~out) & (f_t - ev.f <= c1 * t * g_dot_d)
+            if cb is not None:   # reference per-trial events (backtracking.rs:38-53)
+                jax.debug.callback(cb, i, t, f_t, accept)
             t_next = jnp.where(accept, t, t * beta)
             i_next = i + jnp.where(out | accept, 0, 1)
             return (t_next, i_next, total + 1, accept)
@@ -85,6 +89,7 @@ class BackTrackingB(LineSearch):
         c1 = jnp.asarray(self.c1, dtype)
         beta = jnp.asarray(self.beta, dtype)
         total_cap = max_iter + self.max_domain_shrinks
+        cb = _trial_cb("BackTrackingB")
 
         def cond(c):
             t, i, total, done = c
@@ -97,6 +102,8 @@ class BackTrackingB(LineSearch):
             out = ~jnp.isfinite(f_t)
             diff = x_t - x
             accept = (~out) & (f_t - ev.f <= (-c1 / t) * vdot(diff, diff))
+            if cb is not None:
+                jax.debug.callback(cb, i, t, f_t, accept)
             t_next = jnp.where(accept, t, t * beta)
             i_next = i + jnp.where(out | accept, 0, 1)
             return (t_next, i_next, total + 1, accept)

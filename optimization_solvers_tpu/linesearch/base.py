@@ -75,3 +75,14 @@ class LineSearch:
         t, state = self.step_len(oracle, x, ev, d, state, bounds, max_iter)
         x_new = x + t * d
         return t, state, x_new, oracle(x_new)
+
+
+def _trial_cb(kind: str):
+    """Per-trial tracing hook (reference ``backtracking.rs:38-53``): returns
+    a host callback when OST_LOG=debug (checked at TRACE time, so the
+    compiled program carries no callback when tracing is off)."""
+    from optimization_solvers_tpu.utils import telemetry
+
+    if not telemetry.debug_enabled():
+        return None
+    return telemetry.trial_tracer(f"linesearch.{kind}")

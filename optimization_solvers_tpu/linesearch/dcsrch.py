@@ -28,7 +28,7 @@ from jax import lax
 
 from optimization_solvers_tpu.core.numerics import dot as vdot
 from optimization_solvers_tpu.core.types import FuncEval
-from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch
+from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch, _trial_cb
 
 
 def _dcstep(stx, fx, dx, sty, fy, dy, stp, fp, dp, brackt, stmin, stmax):
@@ -203,6 +203,7 @@ class StrongWolfe(LineSearch):
             terms = jnp.where(jnp.isnan(terms), jnp.inf, terms)
             stpmax_g = jnp.minimum(stpmax_g, jnp.min(terms))
         stpmin_g = jnp.asarray(self.stp_min, dtype)
+        cb = _trial_cb("StrongWolfe")
 
         stp0 = jnp.clip(jnp.asarray(1.0, dtype), stpmin_g, stpmax_g)
         # non-descent guard below zeroes the returned step (done=True exits
@@ -248,6 +249,8 @@ class StrongWolfe(LineSearch):
             at_min = (s.stp == stpmin_g) & ((f > ftest) | (g >= gtest))
             out_of_interval = s.brackt & ((s.stp <= s.stmin) | (s.stp >= s.stmax))
             finish = wolfe | small | at_max | at_min | out_of_interval
+            if cb is not None:   # per-trial events (MINPACK dcsrch decisions)
+                jax.debug.callback(cb, s.i, s.stp, f, finish)
 
             # stage-1 psi-modified update (subtract the Armijo slope) when
             # the trial is below fx but above the Armijo line

@@ -13,11 +13,12 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.numerics import dot as vdot
-from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch
+from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch, _trial_cb
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +49,7 @@ class GLLQuadratic(LineSearch):
 
         f0 = ev.f
         g_dot_d = vdot(ev.g, d)
+        cb = _trial_cb("GLLQuadratic")
 
         def cond(c):
             t, i, done = c
@@ -58,6 +60,8 @@ class GLLQuadratic(LineSearch):
             f_t = oracle.value(x + t * d)
             # non-monotone Armijo vs f_max (gll_quadratic.rs:73)
             accept = f_t - f_max <= c1 * t * g_dot_d
+            if cb is not None:   # reference per-trial events (spg.rs:124-137)
+                jax.debug.callback(cb, i, t, f_t, accept)
 
             # safeguarded quadratic interpolation step (gll_quadratic.rs:78-93)
             t_half = t * 0.5

@@ -31,12 +31,13 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.numerics import dot as vdot
 from optimization_solvers_tpu.core.types import FuncEval
-from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch
+from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch, _trial_cb
 
 # mode tags for the flattened state machine
 _BRACKET = 0  # expanding c by rho until phi'(c) >= 0 or phi(c) > f0 + eps
@@ -85,6 +86,8 @@ class HagerZhang(LineSearch):
         d0 = vdot(ev.g, d)  # phi'(0)
         f_eps = f0 + jnp.asarray(self.eps, dtype) * jnp.abs(f0)
 
+        cb = _trial_cb("HagerZhang")
+
         def accept(t, ft, dt):
             # standard Wolfe (T1) OR approximate Wolfe (T2), plus the
             # f <= f0 + eps_k membership required for T2.
@@ -104,6 +107,8 @@ class HagerZhang(LineSearch):
             ev_t = oracle(x + c * d)
             fc, dc = ev_t.f, vdot(ev_t.g, d)
             ok = accept(c, fc, dc)
+            if cb is not None:   # per-trial events
+                jax.debug.callback(cb, i, c, fc, ok)
             # at the feasibility cap and still descending in-domain: the
             # boundary point is the answer (mirrors the bounded searches'
             # stpmx semantics)

@@ -25,11 +25,13 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from optimization_solvers_tpu.core.numerics import dot as vdot, rust_clamp, rust_max, rust_min
-from optimization_solvers_tpu.linesearch.base import Bounds, LineSearch, strong_wolfe
+from optimization_solvers_tpu.linesearch.base import (
+    Bounds, LineSearch, _trial_cb, strong_wolfe)
 
 
 def _cubic_minimizer(ta, tb, f_ta, f_tb, g_ta, g_tb):
@@ -119,6 +121,7 @@ class MoreThuente(LineSearch):
 
         # t = 1.0.max(t_min).min(t_max)  (morethuente.rs:176)
         t0 = rust_min(rust_max(jnp.asarray(1.0, dtype), t_min), t_max)
+        cb = _trial_cb("MoreThuente")
 
         def cond(c):
             i, t, tl, tu, modified, int_conv, done = c
@@ -131,6 +134,8 @@ class MoreThuente(LineSearch):
             swc = strong_wolfe(c1, c2, f0, phi_t_f, g0d, phi_t_g, t)
             # return conditions checked in reference order (morethuente.rs:184-205)
             finish = swc | int_conv | (t == tl) | (t == tu)
+            if cb is not None:   # per-trial events (morethuente.rs trace points)
+                jax.debug.callback(cb, i, t, phi_t_f, finish)
 
             psi_t_f, psi_t_g = psi_of(phi_t_f, phi_t_g, t)
             # switch to modified updating permanently (morethuente.rs:212-215)

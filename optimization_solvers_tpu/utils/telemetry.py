@@ -177,6 +177,42 @@ def iteration_tracer(target: str, level: int = logging.DEBUG):
     return cb
 
 
+def trial_tracer(target: str, level: int = logging.DEBUG):
+    """Host-side per-TRIAL event sink for the line searches: logs every
+    trial step length, its objective value, and the accept/shrink decision
+    — the reference's per-trial ``tracing`` events
+    (``/root/reference/src/line_search/backtracking.rs:38-53``,
+    ``steepest_descent/spg.rs:124-137``).  Staged only when
+    :func:`debug_enabled` is true at trace time (``OST_LOG=debug``, like
+    ``RUST_LOG=debug`` on the reference), so it is zero-cost when off.
+    Batched (vmapped) payloads log aggregate statistics, as
+    :func:`iteration_tracer` does."""
+    import numpy as np
+
+    _ensure_default_handler()
+    logger = get_logger(target)
+
+    def cb(i, t, f_t, accept):
+        i_ = np.asarray(i)
+        t_ = np.asarray(t)
+        f_ = np.asarray(f_t)
+        a_ = np.asarray(accept)
+        if i_.size == 1:
+            logger.log(
+                level, "trial i=%-3d t=%.6e f=%.8e %s",
+                int(i_.reshape(())), float(t_.reshape(())),
+                float(f_.reshape(())),
+                "accept" if bool(a_.reshape(())) else "shrink")
+        else:
+            logger.log(
+                level,
+                "trial i<=%-3d batch=%d t_p50=%.6e f_p50=%.8e accepted=%d",
+                int(i_.max()), i_.size, float(np.median(t_)),
+                float(np.median(f_)), int(a_.sum()))
+
+    return cb
+
+
 def log_progress(every: int = 1, target: str = "solver"):
     """A ready-made per-iteration ``callback`` for
     :func:`optimization_solvers_tpu.solvers.minimize`: logs ``k`` and ``f``

@@ -258,3 +258,68 @@ def test_op_profile_reports_ops(tmp_path):
         names = " ".join(str(r["name"]) + str(r["type"]) for r in named)
         assert ("dot" in names or "tanh" in names or "fusion" in names
                 or "while" in names)
+
+
+def test_line_search_trial_tracing(monkeypatch, caplog):
+    """OST_LOG=debug emits per-TRIAL line-search events (reference
+    ``RUST_LOG=debug`` behavior, backtracking.rs:38-53): one record per
+    trial with the step, the objective value, and the decision."""
+    import logging
+
+    from optimization_solvers_tpu import linesearch as ls
+    from optimization_solvers_tpu.core import problems
+    from optimization_solvers_tpu.core.oracle import make_oracle
+
+    monkeypatch.setenv("OST_LOG", "debug")
+    oracle = make_oracle(problems.rosenbrock())
+    x = jnp.asarray([-1.2, 1.0, 0.8])
+    ev = oracle(x)
+
+    with caplog.at_level(logging.DEBUG, logger="optimization_solvers_tpu"):
+        t, _ = ls.BackTracking().step_len(oracle, x, ev, -ev.g, None, None, 50)
+        jax.effects_barrier()
+    records = [r for r in caplog.records
+               if "linesearch.BackTracking" in r.name]
+    assert records, "no per-trial events were emitted"
+    assert any("shrink" in r.getMessage() or "accept" in r.getMessage()
+               for r in records)
+    # the gate is trace-time: with OST_LOG unset AND the package logger
+    # below DEBUG, no callback is staged at all
+    monkeypatch.delenv("OST_LOG")
+    logging.getLogger("optimization_solvers_tpu").setLevel(logging.INFO)
+    caplog.clear()
+    ls.BackTracking(c1=1e-3).step_len(oracle, x, ev, -ev.g, None, None, 50)
+    jax.effects_barrier()
+    assert not [r for r in caplog.records
+                if "linesearch.BackTracking" in r.name]
+
+
+def test_trial_tracing_all_searches(monkeypatch, caplog):
+    import logging
+
+    from optimization_solvers_tpu import linesearch as ls
+    from optimization_solvers_tpu.core import problems
+    from optimization_solvers_tpu.core.oracle import make_oracle
+
+    monkeypatch.setenv("OST_LOG", "debug")
+    oracle = make_oracle(problems.rosenbrock())
+    x = jnp.asarray([-1.2, 1.0, 0.8])
+    ev = oracle(x)
+    lo, hi = jnp.full(3, -2.0), jnp.full(3, 2.0)
+
+    cases = [
+        (ls.GLLQuadratic(), None, "GLLQuadratic"),
+        (ls.MoreThuente(), None, "MoreThuente"),
+        (ls.StrongWolfe(), None, "StrongWolfe"),
+        (ls.HagerZhang(), None, "HagerZhang"),
+        (ls.BackTrackingB(), (lo, hi), "BackTrackingB"),
+    ]
+    for search, bounds, name in cases:
+        caplog.clear()
+        with caplog.at_level(logging.DEBUG,
+                             logger="optimization_solvers_tpu"):
+            state = search.init_state(ev)
+            search.step_len(oracle, x, ev, -ev.g, state, bounds, 50)
+            jax.effects_barrier()
+        assert [r for r in caplog.records
+                if f"linesearch.{name}" in r.name], name
