@@ -90,8 +90,15 @@ def test_make_mesh_helper():
 
 
 def test_sharded_fused_lbfgsb_matches_single_device():
-    # the fused kernel under shard_map (interpret mode) must agree
-    # lane-for-lane with the same kernel run unsharded
+    # shard_map must not change the kernel's semantics: the sharded run
+    # must agree BIT-FOR-BIT with unsharded per-shard calls of the same
+    # kernel (identical shapes, grid=1 — exactly what shard_map traces on
+    # each device).  The full-batch (grid=8) run is only checked to
+    # tolerance: in interpret mode XLA-CPU compiles a grid-1 and a grid-8
+    # pallas grid loop differently (single-trip loop inlining changes FMA
+    # contraction), giving ~1-ulp direction differences that can cascade
+    # to +-1 iteration over a long Rosenbrock solve.  On real TPU the
+    # Mosaic kernel body is compiled once regardless of grid length.
     from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
     from optimization_solvers_tpu.parallel import (
         make_mesh, sharded_lbfgsb_solve_fused)
@@ -106,11 +113,23 @@ def test_sharded_fused_lbfgsb_matches_single_device():
               interpret=True)
     r_sharded = sharded_lbfgsb_solve_fused(
         f, x0, lo, hi, mesh=mesh, axis="dp", **kw)
+    x_ps, it_ps, st_ps = [], [], []
+    for s in range(8):
+        r = lbfgsb_solve_fused(f, x0[4 * s:4 * (s + 1)], lo, hi, **kw)
+        x_ps.append(np.asarray(r.x))
+        it_ps.append(np.asarray(r.iterations))
+        st_ps.append(np.asarray(r.status))
+    np.testing.assert_array_equal(
+        np.asarray(r_sharded.x), np.concatenate(x_ps))
+    np.testing.assert_array_equal(
+        np.asarray(r_sharded.iterations), np.concatenate(it_ps))
+    np.testing.assert_array_equal(
+        np.asarray(r_sharded.status), np.concatenate(st_ps))
     r_single = lbfgsb_solve_fused(f, x0, lo, hi, **kw)
     np.testing.assert_allclose(
-        np.asarray(r_sharded.x), np.asarray(r_single.x), atol=1e-12)
-    np.testing.assert_array_equal(
-        np.asarray(r_sharded.iterations), np.asarray(r_single.iterations))
+        np.asarray(r_sharded.x), np.asarray(r_single.x), atol=1e-6)
+    assert np.abs(np.asarray(r_sharded.iterations).astype(np.int64)
+                  - np.asarray(r_single.iterations)).max() <= 1
 
 
 def test_sharded_generic_fused_matches_single_device():
