@@ -920,6 +920,7 @@ class _SPNSpec(_NewtonCommon):
         self.tol = float(method.grad_tol)
         self.lam_min = float(method.lambda_min)
         self.lam_max = float(method.lambda_max)
+        self.precond_bb = bool(getattr(method, "precond_bb", False))
 
     def scratch(self, n, T, dtype):
         return self._base_scratch(n, T, dtype) + [((1, T), dtype)]  # lam
@@ -944,11 +945,21 @@ class _SPNSpec(_NewtonCommon):
         lam = st[5]
         s = X - X_old
         y = G - G_old
+        if self.precond_bb:
+            # Newton-metric pair (see SpectralProjectedNewton docstring):
+            # the Cholesky factor of H(X_old) from direction() is still in
+            # slab 1, so H^{-1} y is two triangular sweeps; lanes whose
+            # factor collapsed (flags slab) fall back to the gradient pair
+            yt = self._tri_solve(st, y, ctx)
+            bad = (st[4][...] > 0.0) | (
+                ctx.sum((~jnp.isfinite(yt)).astype(ctx.dtype)) > 0.0)
+            y = jnp.where(bad, y, yt)
         sy = ctx.sum(s * y)
         lam_bb = jnp.clip(ctx.sum(s * s) / sy, self.lam_min, self.lam_max)
-        lam_new = jnp.where(sy <= 0.0,
-                            jnp.full((1, ctx.T), self.lam_max, ctx.dtype),
-                            lam_bb)
+        # sy > 0 keeps NaN pairs on the lambda_max reset (Rust min/max
+        # NaN semantics in the reference do the same)
+        lam_new = jnp.where(sy > 0.0, lam_bb,
+                            jnp.full((1, ctx.T), self.lam_max, ctx.dtype))
         lam[...] = jnp.where(active, lam_new, lam[...])
 
 

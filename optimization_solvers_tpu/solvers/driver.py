@@ -116,7 +116,9 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
             oracle, c.x, c.ev, d, c.ls_state, bounds, max_iter_ls
         )
         ev_new = _strip(ev_new)
-        mstate = method.post_step(mstate, c.x, c.ev, d, t, x_new, ev_new, bounds)
+        # ev_dir (not the stripped carry) so Hessian-consuming post_steps
+        # (SPN precond_bb) see the same full evaluation direction() did
+        mstate = method.post_step(mstate, c.x, ev_dir, d, t, x_new, ev_new, bounds)
         if callback is not None:
             # 1-based completed-iteration count, consistent with the
             # telemetry tracer and the reference's per-iteration events

@@ -100,11 +100,24 @@ class _SPNState(NamedTuple):
 class SpectralProjectedNewton(BoundedMethod):
     """SPN: projected Newton step scaled by the safeguarded
     Barzilai-Borwein scalar (``newton/spn.rs:76-91``); BB update identical
-    to SPG (``spn.rs:139-148``)."""
+    to SPG (``spn.rs:139-148``).
+
+    Known property of the reference update (measured, not an f32 artifact —
+    f64 shows the identical stall): the gradient-metric BB scalar
+    ``s.s / s.y`` applied to a NEWTON direction freezes at the inverse
+    Rayleigh quotient of H along the Newton ray (the iterate map is
+    ``x <- (1 - lam) x`` on a quadratic, so the pair never explores a new
+    direction), giving a geometric rate of ``1 - lam`` instead of the
+    Newton one-step.  ``precond_bb=True`` (opt-in; default keeps reference
+    semantics) computes the pair in the Newton-preconditioned metric —
+    ``lam = s.s / s.(H^{-1} y)`` with the factor already in hand — which
+    restores ``lam -> 1`` (exact on quadratics) and one-step-like
+    convergence; see docs/tpu_accuracy.md and PARITY.md."""
 
     grad_tol: float = 1e-8
     lambda_min: float = 1e-3
     lambda_max: float = 1e3
+    precond_bb: bool = False
     needs_hessian = True
 
     def init(self, x, ev, bounds: Bounds):
@@ -123,7 +136,13 @@ class SpectralProjectedNewton(BoundedMethod):
     def post_step(self, mstate: _SPNState, x, ev, d, t, x_new, ev_new, bounds):
         s = x_new - x
         y = ev_new.g - ev.g
+        if self.precond_bb:
+            # secant in the preconditioned metric: s ~ lam * H^{-1} y, so
+            # lam = s.s / s.(H^{-1} y) (exactly 1 on a quadratic); H at the
+            # accepted pair's left endpoint, like the direction solve
+            y = cholesky_solve(ev.hessian, y)
         sy = vdot(s, y)
         lam_bb = jnp.maximum(jnp.minimum(vdot(s, s) / sy, self.lambda_max), self.lambda_min)
-        lam = jnp.where(sy <= 0.0, jnp.asarray(self.lambda_max, x.dtype), lam_bb)
+        # sy > 0 (not sy <= 0) so a NaN pair also resets to lambda_max
+        lam = jnp.where(sy > 0.0, lam_bb, jnp.asarray(self.lambda_max, x.dtype))
         return _SPNState(lam)

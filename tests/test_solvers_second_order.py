@@ -87,3 +87,66 @@ def test_spn_constrained():
     )
     assert res.status == Status.CONVERGED
     assert res.f < 1e-6
+
+
+def test_spn_precond_bb_breaks_lambda_freeze():
+    """The reference BB update freezes lambda at the inverse Rayleigh
+    quotient of the Newton ray (geometric rate 1 - lambda; measured
+    identically in f32 and f64 — NOT a precision artifact).  The opt-in
+    Newton-metric pair (``precond_bb=True``) restores lambda -> 1 and
+    near-one-step convergence; the default stays reference-exact."""
+    import numpy as np2
+
+    n, B = 16, 32
+    d = jnp.asarray(np2.linspace(1.0, 40.0, n))
+
+    def quad(x):
+        return 0.5 * jnp.sum(d * x * x)
+
+    lo, hi = jnp.full(n, -1.5), jnp.full(n, 2.5)
+    x0 = jnp.asarray(np2.random.RandomState(0).uniform(-1.4, 2.4, (B, n)))
+    oracle = make_oracle(quad, with_hessian=True)
+
+    r_ref = solvers.batch_minimize(
+        solvers.SpectralProjectedNewton(grad_tol=1e-6),
+        ls.BackTrackingB(), oracle, x0, bounds=(lo, hi), fused=False,
+        max_iter=60, max_iter_ls=30)
+    r_pbb = solvers.batch_minimize(
+        solvers.SpectralProjectedNewton(grad_tol=1e-6, precond_bb=True),
+        ls.BackTrackingB(), oracle, x0, bounds=(lo, hi), fused=False,
+        max_iter=60, max_iter_ls=30)
+    st_ref = np.asarray(r_ref.status)
+    st_pbb = np.asarray(r_pbb.status)
+    # reference semantics: the lambda freeze leaves most lanes unconverged
+    # at this budget (documented stall, PARITY.md); the Newton-metric pair
+    # converges every lane in a handful of iterations
+    assert (st_pbb == int(Status.CONVERGED)).all()
+    assert np.median(np.asarray(r_pbb.iterations)) <= 10
+    assert (st_ref == int(Status.CONVERGED)).mean() < 0.5
+
+
+def test_spn_precond_bb_fused_matches_unfused():
+    from optimization_solvers_tpu.ops.pallas_driver import fused_minimize
+    import numpy as np2
+
+    n, B = 8, 16
+    d = jnp.asarray(np2.linspace(1.0, 12.0, n))
+
+    def quadc(x, dd):
+        return 0.5 * jnp.sum(dd * x * x)
+
+    def quad(x):
+        return 0.5 * jnp.sum(d * x * x)
+
+    lo, hi = jnp.full(n, -1.5), jnp.full(n, 2.5)
+    x0 = jnp.asarray(np2.random.RandomState(1).uniform(-1.4, 2.4, (B, n)))
+    m = solvers.SpectralProjectedNewton(grad_tol=1e-6, precond_bb=True)
+    r_u = solvers.batch_minimize(
+        m, ls.BackTrackingB(), make_oracle(quad, with_hessian=True), x0,
+        bounds=(lo, hi), fused=False, max_iter=60, max_iter_ls=30)
+    r_f = fused_minimize(
+        m, ls.BackTrackingB(), quadc, x0, lower=lo, upper=hi, consts=(d,),
+        max_iter=60, max_iter_ls=30, tile=8, interpret=True)
+    assert (np.asarray(r_f.status) == int(Status.CONVERGED)).all()
+    np.testing.assert_allclose(
+        np.asarray(r_f.x), np.asarray(r_u.x), atol=1e-8)

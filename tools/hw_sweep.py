@@ -59,9 +59,14 @@ COMBOS = [
     ("Newton+NoSearch", solvers.Newton(tol=1e-8), ls.NoSearch(), False),
     ("PN+BTB", solvers.ProjectedNewton(grad_tol=1e-4), ls.BackTrackingB(), True),
     # SPN reports WARN conv ~0.79 here: the unfused (reference-semantics)
-    # path measures the same 0.785 on this problem — f32 BB-step cycling
-    # is an algorithm property, not a kernel bug
+    # path measures the same 0.785, and f64 the same again — the
+    # reference's gradient-metric BB scalar freezes at the inverse
+    # Rayleigh quotient of the Newton ray (geometric rate 1-lambda needs
+    # >300 iters at cond 40).  An algorithm property, not a kernel or
+    # precision bug; see SpectralProjectedNewton.precond_bb.
     ("SPN+BTB", solvers.SpectralProjectedNewton(grad_tol=1e-4), ls.BackTrackingB(), True),
+    # opt-in Newton-metric BB pair: lambda -> 1, converges in ~2 iters
+    ("SPN-pbb+BTB", solvers.SpectralProjectedNewton(grad_tol=1e-4, precond_bb=True), ls.BackTrackingB(), True),
     # mixed finite/+-inf bounds: covers Mosaic lowering of infinite bound
     # operands (the XLA chunked Cauchy walk had a NaN bug in exactly this
     # geometry, BENCH_NOTES round 2)
