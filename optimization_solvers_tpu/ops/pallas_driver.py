@@ -1075,18 +1075,24 @@ class _GLLSpec:
             done = ls_done[...] > 0
             f_t = bval(X + t * d)
             ok = (f_t - f_max <= self.c1 * t * g0d) & jnp.isfinite(f_t)
-            # quadratic interpolation trial with the RELATIVE safeguard
-            # window sigma1*t <= t_new <= sigma2*t (Grippo-Lampariello-
-            # Lucidi 1986 standard).  Documented deviation: the reference
-            # uses an ABSOLUTE lower window (t_tmp > 0.1) and halves the
-            # rejected interpolant (gll_quadratic.rs:85-92), which in f32
-            # collapses t below step resolution when f_t is huge/overflowed
-            # (t_tmp ~ +-0) and stalls the whole lane forever.
+            # reference trial update (gll_quadratic.rs:78-93), IDENTICAL to
+            # linesearch/gll.py: quadratic interpolant accepted only inside
+            # the (absolute sigma1, relative sigma2*t) window, halved
+            # otherwise.  A relative-clip variant (clip(t_tmp, s1*t, s2*t))
+            # was measured to LIMIT-CYCLE under the non-monotone test on
+            # stiff quadratics (GD+GLL conv 0.0 vs 1.0, round-3 hw sweep):
+            # the clipped-up trials keep re-inflating f while f_max stays
+            # poisoned by past spikes.
             t_half = t * 0.5
             t_tmp = -0.5 * t * t * g0d / (f_t - f0 - t * g0d)
-            t_quad = jnp.clip(t_tmp, self.sigma1 * t, self.sigma2 * t)
-            t_quad = jnp.where(jnp.isfinite(t_quad), t_quad, t_half)
+            t_quad = jnp.where(
+                (t_tmp > self.sigma1) & (t_tmp < self.sigma2 * t),
+                t_tmp, t_tmp * 0.5)
             t_next = jnp.where(t <= 0.1, t_half, t_quad)
+            # lockup guard (same as the unfused path): an overflowed f_t
+            # gives t_tmp ~ +-0 whose halving freezes t at 0 forever
+            t_next = jnp.where(
+                jnp.isfinite(t_next) & (t_next > 0.0), t_next, t_half)
             keep = done | ok
             ls_t[...] = jnp.where(keep, t, t_next)
             ls_done[...] = keep.astype(jnp.int32)

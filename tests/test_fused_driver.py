@@ -366,3 +366,32 @@ def test_fused_fallback_under_outer_jit(monkeypatch):
     assert calls["fused"] >= 1            # the probe did try the kernel
     assert np.all(np.asarray(res.status) == 1)
     assert float(np.max(np.asarray(res.f))) < 1e-10
+
+
+def test_gll_fused_stiff_quadratic_converges():
+    """Round-3 regression: the fused GLL trial update must be the
+    reference's absolute-window interpolation (gll_quadratic.rs:78-93),
+    not a relative clip — the clip variant limit-cycles under the
+    non-monotone Armijo on stiff quadratics (GD+GLL conv 0.0 on the
+    cond-40 hw-sweep problem while the unfused path converges 1.0)."""
+    n, B = 16, 64
+    d = jnp.asarray(np.linspace(1.0, 40.0, n))
+
+    def quadc(x, dd):
+        return 0.5 * jnp.sum(dd * x * x)
+
+    def quad(x):
+        return 0.5 * jnp.sum(d * x * x)
+
+    x0 = jnp.asarray(np.random.RandomState(0).uniform(-1.4, 2.4, (B, n)))
+    r_f = fused_minimize(
+        solvers.GradientDescent(grad_tol=1e-4), ls.GLLQuadratic(), quadc,
+        x0, consts=(d,), max_iter=300, max_iter_ls=30, tile=64,
+        interpret=True)
+    r_u = solvers.batch_minimize(
+        solvers.GradientDescent(grad_tol=1e-4), ls.GLLQuadratic(),
+        make_oracle(quad), x0, fused=False, max_iter=300, max_iter_ls=30)
+    conv_f = (np.asarray(r_f.status) == 1).mean()
+    conv_u = (np.asarray(r_u.status) == 1).mean()
+    assert conv_u >= 0.95
+    assert conv_f >= 0.95, f"fused GLL conv {conv_f}"

@@ -48,6 +48,10 @@ COMBOS = [
     ("BFGS+BT", solvers.BFGS(tol=1e-5), ls.BackTracking(), False),
     ("BFGS+MT", solvers.BFGS(tol=1e-5), ls.MoreThuente(), False),
     ("DFP+BT", solvers.DFP(tol=1e-5), ls.BackTracking(), False),
+    # Broyden+NoSearch WARNs (conv 0, med_f inf) BY DESIGN: the undamped
+    # Broyden update diverges on this cond-40 quadratic on the unfused
+    # reference-semantics path too (measured identical) — the sweep keeps
+    # the combo for Mosaic lowering coverage of the no-search fast path
     ("Broyden+NoSearch", solvers.Broyden(tol=1e-5), ls.NoSearch(), False),
     ("BFGSB+BTB", solvers.BFGSB(tol=1e-5), ls.BackTrackingB(), True),
     ("BFGSB+MTB", solvers.BFGSB(tol=1e-5), ls.MoreThuenteB(), True),
