@@ -244,6 +244,80 @@ def bench_config1():
     }
 
 
+def bench_config1_tpu():
+    """Config-1 on the ACCELERATOR (VERDICT round-2 weak #7): the recorded
+    CPU home is right for sequential single tiny solves (the ~30 ms relay
+    round-trip floor), but the TPU story must be measured, not asserted —
+    single-solve latency through the general API, the fused kernel's
+    single-solve latency, and the batch size at which the TPU path
+    overtakes the sequential CPU throughput."""
+    import subprocess
+
+    from optimization_solvers_tpu import linesearch as ls, solvers
+    from optimization_solvers_tpu.solvers.driver import make_solver
+
+    n = 100
+    d = jnp.asarray(np.linspace(1.0, 100.0, n), DTYPE)
+    oracle = make_oracle(problems.diag_quadratic(d))
+    rng = np.random.RandomState(0)
+
+    # (a) sequential single-solve latency, general API on TPU
+    solve1 = make_solver(
+        solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(), oracle,
+        max_iter=3000)
+    xs = [jnp.asarray(rng.uniform(-5, 5, n), DTYPE) for _ in range(9)]
+    _fence(solve1(xs[0]))  # compile
+    lat = []
+    for x in xs[1:]:
+        t0 = time.perf_counter()
+        _fence(solve1(x))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat_ms = statistics.median(lat)
+
+    # (b) batched throughput at growing B (fused='auto' routes to the
+    # generic fused kernel) -> crossover vs the CPU sequential number
+    def solve_b(x):
+        return solvers.batch_minimize(
+            solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(),
+            oracle, x, fused="auto", max_iter=3000)
+
+    curve = {}
+    for B in (1, 8, 64, 512, 4096):
+        xb = jnp.asarray(rng.uniform(-5, 5, (B, n)), DTYPE)
+        dt, r = _timed(solve_b, [
+            jnp.asarray(rng.uniform(-5, 5, (B, n)), DTYPE), xb, xb + 0.01])
+        curve[B] = round(B / dt, 2)
+
+    # (c) the CPU-home number, measured the same way in a subprocess (the
+    # axon sitecustomize pins this process's backend, so re-homing needs a
+    # fresh interpreter; bench_config1 flips to CPU via --config 1)
+    cpu_jax = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", "1"],
+            capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        cpu_jax = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
+    cpu_sps = cpu_jax["value"] if cpu_jax else float("nan")
+    crossover = next((B for B, sps in sorted(curve.items())
+                      if sps > cpu_sps), None)
+    return {
+        "metric": "config1_gd_backtracking_quadratic100_tpu_story",
+        "value": curve[4096], "unit": "solves/s",
+        "vs_baseline": round(curve[4096] / cpu_jax[
+            "baseline_cpu_solves_per_sec"], 2) if cpu_jax else None,
+        "tpu_single_solve_latency_ms": round(lat_ms, 2),
+        "tpu_batch_solves_per_sec": curve,
+        "cpu_sequential_solves_per_sec": cpu_sps,
+        "cpu_single_solve_latency_ms": cpu_jax[
+            "single_solve_latency_ms"] if cpu_jax else None,
+        "crossover_batch_vs_cpu_sequential": crossover,
+        "path": "general_api_batch_fused_auto",
+    }
+
+
 def bench_config2():
     """Dense BFGS + More-Thuente (the spec's pairing, BASELINE.json config
     2) on Rosenbrock-100, 1k random starts, through the general API with
@@ -522,7 +596,8 @@ def bench_config5():
 
 
 _CONFIG_BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
-                   4: bench_config4, 5: bench_config5}
+                   4: bench_config4, 5: bench_config5,
+                   6: bench_config1_tpu}  # --config 6: config-1 TPU story
 
 
 def main():

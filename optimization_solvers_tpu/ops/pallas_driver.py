@@ -693,6 +693,23 @@ class _LBFGSSpec:
         rho[m - 1] = jnp.where(acc_row, (1.0 / sy)[0], rho[m - 1])
         valid[m - 1] = jnp.where(acc_row, 1.0, valid[m - 1])
         gamma[...] = jnp.where(accept, sy / yy, gamma[...])
+        # zero-progress repair (mirrors solvers/lbfgs.py LBFGS.post_step):
+        # an accepted step that underflowed the iterate leaves a
+        # bit-identical state and wedges the lane at a non-stationary point;
+        # wipe the model so the retry goes through steepest descent.  The
+        # moved tally uses the where-zero/one-sum trick (a fused-reduce
+        # of a comparison does not lower in Mosaic).
+        zeros = jnp.zeros((ctx.n, ctx.T), ctx.dtype)
+        ones = jnp.ones((ctx.n, ctx.T), ctx.dtype)
+        moved = ctx.sum(jnp.where(s == 0.0, zeros, ones))
+        no_move = active & (moved == 0.0)
+        nm_row = no_move[0]                      # (T,)
+        zrow = jnp.zeros((ctx.T,), ctx.dtype)
+        for p in range(m):
+            rho[p] = jnp.where(nm_row, zrow, rho[p])
+            valid[p] = jnp.where(nm_row, zrow, valid[p])
+        gamma[...] = jnp.where(no_move, jnp.ones((1, ctx.T), ctx.dtype),
+                               gamma[...])
 
 
 class _NewtonCommon:

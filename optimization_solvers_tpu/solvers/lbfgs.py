@@ -121,4 +121,23 @@ class LBFGS(Method):
         return d, mstate
 
     def post_step(self, mstate: LbfgsState, x, ev, d, t, x_new, ev_new, bounds):
-        return push_pair(mstate, x_new - x, ev_new.g - ev.g, self.curvature_eps)
+        mstate = push_pair(
+            mstate, x_new - x, ev_new.g - ev.g, self.curvature_eps)
+        # zero-progress repair: a DESCENT two-loop direction can still be so
+        # ill-scaled in f32 that the accepted Wolfe step underflows the
+        # iterate (x + t*d == x exactly) — the pair is rejected, the state
+        # is bit-identical, and the solve wedges at a non-stationary point
+        # forever (observed: Rosenbrock-100 lane pinned at pg=9.5 for 5000
+        # iterations).  Discard the misleading model so the next iteration
+        # retries from steepest descent, the same repair direction() applies
+        # to non-descent models (and mainlb applies on failed line searches)
+        no_move = jnp.all(x_new == x)
+        return LbfgsState(
+            S=mstate.S,
+            Y=mstate.Y,
+            rho=jnp.where(no_move, jnp.zeros_like(mstate.rho), mstate.rho),
+            valid=jnp.where(no_move, jnp.zeros_like(mstate.valid),
+                            mstate.valid),
+            gamma=jnp.where(no_move, jnp.ones_like(mstate.gamma),
+                            mstate.gamma),
+        )
