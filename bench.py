@@ -38,7 +38,7 @@ N = 100
 BATCH = int(os.environ.get("BENCH_BATCH", 10_240))  # multiple of the tile
 # VMEM sweet spot (1024 exceeds the 16 MB scoped limit); override to probe
 TILE = int(os.environ.get("BENCH_TILE", 512))
-M = 5                   # reference default (lbfgsb.rs:91)
+M = int(os.environ.get("BENCH_M", 5))   # reference default (lbfgsb.rs:91)
 PGTOL = 1e-3            # accuracy target for BOTH device and cpu baseline
 FACTR = 100.0           # ~1.2e-5 relative-decrease stall guard in f32
 MAX_ITER = 600
