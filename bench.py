@@ -482,7 +482,8 @@ def bench_config4():
     upper = jnp.full((n,), 1.0, DTYPE)
     from optimization_solvers_tpu.solvers.lbfgsb import lbfgsb_batch_minimize
 
-    cfg = LbfgsbConfig(m=10, pgtol=1e-5, factr=1e3, max_iter=200)
+    cfg = LbfgsbConfig(m=10, pgtol=1e-5, factr=1e3, max_iter=200,
+                       lockstep_unroll=int(os.environ.get("BENCH_UNROLL", 1)))
     solve = jax.jit(
         lambda x0: lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg))
 

@@ -333,7 +333,8 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
         return None
 
 
-def lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter: int):
+def lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter: int,
+                  unroll: int = 1):
     """Run a solver loop over a leading batch axis in LOCKSTEP: one global
     ``lax.while_loop`` whose body is the vmapped ``step_fn``, with lanes
     whose ``keep_going_fn`` went false frozen via per-lane masks — the same
@@ -341,6 +342,15 @@ def lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter: int):
     carry.  Shared scaffold for :func:`batch_minimize`,
     :func:`solvers.lbfgsb.lbfgsb_batch_minimize`, and
     :func:`solvers.newton_cg.newton_cg_batch_minimize`.
+
+    ``unroll`` runs that many solver iterations per while trip (per-step
+    budget/convergence masks keep the semantics EXACTLY those of
+    ``unroll=1`` — a lane never steps past ``max_iter`` or past its own
+    convergence).  Big-carry loops whose per-trip scheduling/copy overhead
+    rivals the step itself (the 10k-dim L-BFGS-B measured ~3 ms/iter of
+    unattributed loop management, BENCH_NOTES round 2) amortize it across
+    ``unroll`` steps; the trade is ~unroll× the compiled body size and up
+    to ``unroll - 1`` wasted (masked) steps at the final trip.
     """
     c0 = jax.vmap(init_fn)(x0)
     alive = jax.vmap(keep_going_fn)
@@ -350,13 +360,16 @@ def lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter: int):
                          new, old)
 
     # the active mask rides the carry so the (potentially expensive) vmapped
-    # keep-going predicate runs ONCE per trip instead of in both cond and
+    # keep-going predicate runs ONCE per step instead of in both cond and
     # body — it can be oracle-adjacent work (projected-gradient norms)
     def body(s):
         i, c, active = s
-        stepped = jax.vmap(step_fn)(c)
-        c = jax.tree.map(lambda nw, od: merge(active, nw, od), stepped, c)
-        return (i + 1, c, alive(c))
+        for j in range(unroll):
+            ok = active if j == 0 else (active & (i + j < max_iter))
+            stepped = jax.vmap(step_fn)(c)
+            c = jax.tree.map(lambda nw, od: merge(ok, nw, od), stepped, c)
+            active = alive(c)
+        return (i + unroll, c, active)
 
     def cond(s):
         i, c, active = s
@@ -369,11 +382,11 @@ def lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter: int):
 @functools.partial(
     jax.jit,
     static_argnames=("method", "line_search", "oracle", "max_iter",
-                     "max_iter_ls", "callback"),
+                     "max_iter_ls", "callback", "unroll"),
 )
 def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
                              *, max_iter=1000, max_iter_ls=100,
-                             callback=None) -> SolveResult:
+                             callback=None, unroll=1) -> SolveResult:
     """Lockstep batched general driver.  Jitted here (static on the
     frozen-dataclass configs and the oracle object) so the batched entry
     point is compiled even when called eagerly: an eager call dispatches
@@ -386,7 +399,8 @@ def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
         max_iter_ls=max_iter_ls,
         callback=callback,
     )
-    final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter)
+    final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter,
+                          unroll=unroll)
     return jax.vmap(lambda c: _result(c, max_iter, bounds))(final)
 
 
@@ -419,7 +433,7 @@ def batch_minimize(
     # validate BEFORE routing: a typo'd kwarg must fail loudly on every
     # path, not just the lockstep one (the fused path only reads
     # max_iter/max_iter_ls and would silently drop the rest)
-    unknown = set(kwargs) - {"max_iter", "max_iter_ls", "callback"}
+    unknown = set(kwargs) - {"max_iter", "max_iter_ls", "callback", "unroll"}
     if unknown:
         raise TypeError(
             f"batch_minimize got unexpected keyword argument(s) "
@@ -445,6 +459,10 @@ def batch_minimize(
                     "combo, or the oracle lacks a raw scalar objective)")
 
     if batched_bounds and bounds is not None:
+        # unroll is a lockstep-loop knob; the vmapped single-instance path
+        # has no lockstep trip overhead to amortize
+        kwargs = {k: v for k, v in kwargs.items() if k != "unroll"}
+
         def solve_one(x0_i, bounds_i):
             return minimize(method, line_search, oracle, x0_i,
                             bounds=bounds_i, **kwargs)
@@ -456,6 +474,9 @@ def batch_minimize(
         max_iter=kwargs.get("max_iter", 1000),
         max_iter_ls=kwargs.get("max_iter_ls", 100),
         callback=kwargs.get("callback"),
+        # lockstep iterations per while trip (lockstep_loop unroll):
+        # semantics identical to 1, amortizes big-carry loop overhead
+        unroll=kwargs.get("unroll", 1),
     )
 
 

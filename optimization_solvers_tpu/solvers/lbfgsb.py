@@ -113,6 +113,10 @@ class LbfgsbConfig:
     # (see _cauchy_point); larger = fewer while trips, more wasted work in
     # the stopping chunk
     gcp_chunk: int = 256
+    # outer solver iterations per lockstep while trip (driver.lockstep_loop
+    # unroll) — semantics identical to 1; amortizes the big-carry loop's
+    # per-trip scheduling/copy overhead on huge-n workloads (config 4)
+    lockstep_unroll: int = 1
 
 
 def _projected_gradient_norm(x, g, lower, upper):
@@ -657,7 +661,8 @@ def lbfgsb_batch_minimize(
     cfg = config
     init_fn, keep_going_fn, step_fn = make_lbfgsb_step(
         oracle, lower, upper, cfg)
-    final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, cfg.max_iter)
+    final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, cfg.max_iter,
+                          unroll=cfg.lockstep_unroll)
     return _lbfgsb_result(final, cfg, lower, upper)
 
 

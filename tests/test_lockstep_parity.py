@@ -76,3 +76,43 @@ def test_lockstep_matches_single(method, search, bounded, needs_h):
             f"lane {i}: {int(batched.iterations[i])} vs "
             f"{int(single.iterations)} iterations")
         assert int(batched.status[i]) == int(single.status)
+
+
+def test_lockstep_unroll_bitexact():
+    """lockstep_loop's unroll knob must be EXACTLY semantics-preserving:
+    identical trajectories, iteration counts, and statuses for any unroll,
+    including non-divisible max_iter budgets."""
+    import dataclasses
+
+    from optimization_solvers_tpu.core import problems
+    from optimization_solvers_tpu.solvers.lbfgsb import (
+        LbfgsbConfig, lbfgsb_batch_minimize)
+
+    n, B = 12, 8
+    oracle = make_oracle(problems.rosenbrock())
+    x0 = jnp.asarray(np.random.RandomState(5).uniform(-2, 2, (B, n)))
+    lo, hi = jnp.full(n, -2.0), jnp.full(n, 2.0)
+    cfg1 = LbfgsbConfig(m=5, pgtol=1e-7, factr=10.0, max_iter=51)
+    r1 = lbfgsb_batch_minimize(oracle, x0, lo, hi, cfg1)
+    for u in (2, 3):
+        ru = lbfgsb_batch_minimize(
+            oracle, x0, lo, hi, dataclasses.replace(cfg1, lockstep_unroll=u))
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(ru.x))
+        np.testing.assert_array_equal(
+            np.asarray(r1.iterations), np.asarray(ru.iterations))
+        np.testing.assert_array_equal(
+            np.asarray(r1.status), np.asarray(ru.status))
+    # general API surface: the kwarg routes through batch_minimize
+    r_gen1 = solvers.batch_minimize(
+        solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(),
+        make_oracle(problems.example_gd()),
+        jnp.asarray(np.random.RandomState(2).uniform(-5, 5, (8, 2))),
+        fused=False, max_iter=33)
+    r_gen2 = solvers.batch_minimize(
+        solvers.GradientDescent(grad_tol=1e-6), ls.BackTracking(),
+        make_oracle(problems.example_gd()),
+        jnp.asarray(np.random.RandomState(2).uniform(-5, 5, (8, 2))),
+        fused=False, max_iter=33, unroll=4)
+    np.testing.assert_array_equal(np.asarray(r_gen1.x), np.asarray(r_gen2.x))
+    np.testing.assert_array_equal(
+        np.asarray(r_gen1.iterations), np.asarray(r_gen2.iterations))
