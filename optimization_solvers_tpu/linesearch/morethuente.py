@@ -90,6 +90,17 @@ class MoreThuente(LineSearch):
     delta: float = 0.66
     delta_max: float = 1.1
     reference_quirks: bool = False
+    # opt-in Hager-Zhang approximate-Wolfe (T2) acceptance alongside the
+    # strong-Wolfe test: near a minimizer the f32 difference f(x+td) - f0
+    # is pure cancellation noise, the Armijo half of strong Wolfe becomes
+    # undecidable, and MT's interval collapses to sub-ulp steps (the
+    # L-BFGS+MT livelock, BENCH_NOTES round 3).  T2 replaces it with the
+    # derivative-only test (2c1-1)phi'(0) >= phi'(t) >= c2 phi'(0) plus the
+    # f <= f0 + aw_eps|f0| membership (CG_DESCENT 2005, eq. 4.1) — exactly
+    # what linesearch/hager_zhang.py does natively.  Default OFF: reference
+    # MT semantics.
+    approx_wolfe: bool = False
+    aw_eps: float = 1e-6
 
     def __post_init__(self):
         assert 0.0 < self.c1 < self.c2 < 1.0, "require 0 < c1 < c2 < 1"
@@ -132,6 +143,15 @@ class MoreThuente(LineSearch):
 
             phi_t_f, phi_t_g = phi(t)
             swc = strong_wolfe(c1, c2, f0, phi_t_f, g0d, phi_t_g, t)
+            if self.approx_wolfe:
+                awc = (
+                    ((2.0 * c1 - 1.0) * g0d >= phi_t_g)
+                    & (phi_t_g >= c2 * g0d)
+                    & (phi_t_f <= f0 + jnp.asarray(self.aw_eps, dtype)
+                       * jnp.abs(f0))
+                    & (t > 0.0)
+                )
+                swc = swc | awc
             # return conditions checked in reference order (morethuente.rs:184-205)
             finish = swc | int_conv | (t == tl) | (t == tu)
             if cb is not None:   # per-trial events (morethuente.rs trace points)

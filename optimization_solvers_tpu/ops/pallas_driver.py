@@ -1139,6 +1139,8 @@ class _MTSpec:
         self.t_max0 = float(search.t_max)
         self.delta = float(search.delta)
         self.bounded = bounded
+        self.approx_wolfe = bool(getattr(search, "approx_wolfe", False))
+        self.aw_eps = float(getattr(search, "aw_eps", 1e-6))
 
     def scratch(self, n, T, dtype):
         # rows: 0=t 1=tl 2=tu 3=modified 4=int_conv 5=done 6=t_min 7=t_max
@@ -1208,6 +1210,16 @@ class _MTSpec:
 
             phi_t_f, phi_t_g = phi(t)
             swc = strong_wolfe(c1, c2, f0, phi_t_f, g0d, phi_t_g, t)
+            if self.approx_wolfe:
+                # Hager-Zhang T2 acceptance (mirrors the unfused
+                # MoreThuente.approx_wolfe; see its field docstring)
+                awc = (
+                    ((2.0 * self.c1 - 1.0) * g0d >= phi_t_g)
+                    & (phi_t_g >= c2 * g0d)
+                    & (phi_t_f <= f0 + self.aw_eps * jnp.abs(f0))
+                    & (t > 0.0)
+                )
+                swc = swc | awc
             finish = swc | int_conv | (t == tl) | (t == tu)
 
             psi_t_f, psi_t_g = psi_of(phi_t_f, phi_t_g, t)

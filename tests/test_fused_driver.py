@@ -428,3 +428,29 @@ def test_lbfgs_zero_progress_repair():
     pgf = np.asarray(r_f.pg_norm)
     stf = np.asarray(r_f.status)
     assert pgf[stf != 1].max(initial=0.0) < 0.05, pgf[stf != 1]
+
+
+def test_mt_approx_wolfe_closes_lbfgs_tail():
+    """MoreThuente(approx_wolfe=True) — the opt-in Hager-Zhang T2
+    acceptance — must eliminate the f32 near-minimum livelock that the
+    strong-Wolfe-only MT hits on L-BFGS (BENCH_NOTES round 3): all lanes
+    certify convergence on the probe where plain MT leaves ~12% at
+    MAX_ITER, on both the lockstep and fused paths."""
+    n, B = 100, 32
+
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1.0 - x[:-1]) ** 2)
+
+    x0 = jnp.asarray(
+        np.random.RandomState(7).uniform(-2, 2, (B, n)), jnp.float32)
+    m = solvers.LBFGS(tol=1e-4, m=5)
+    mt_aw = ls.MoreThuente(approx_wolfe=True)
+    r_u = solvers.batch_minimize(
+        m, mt_aw, make_oracle(rosen), x0, fused=False,
+        max_iter=600, max_iter_ls=30)
+    assert (np.asarray(r_u.status) == 1).all()
+    r_f = fused_minimize(
+        m, mt_aw, rosen, x0, max_iter=600, max_iter_ls=30,
+        tile=32, interpret=True)
+    assert (np.asarray(r_f.status) == 1).all()

@@ -57,6 +57,8 @@ COMBOS = [
     ("BFGSB+MTB", solvers.BFGSB(tol=1e-5), ls.MoreThuenteB(), True),
     ("SR1B+BTB", solvers.SR1B(tol=1e-5), ls.BackTrackingB(), True),
     ("LBFGS+MT", solvers.LBFGS(tol=1e-4, m=5), ls.MoreThuente(), False),
+    # opt-in T2 acceptance (closes the f32 near-minimum MT livelock)
+    ("LBFGS+MT-aw", solvers.LBFGS(tol=1e-4, m=5), ls.MoreThuente(approx_wolfe=True), False),
     ("LBFGS+HZ", solvers.LBFGS(tol=1e-4, m=5), ls.HagerZhang(), False),
     ("BFGSB+HZB", solvers.BFGSB(tol=1e-5), ls.HagerZhangB(), True),
     ("LBFGS+BT", solvers.LBFGS(tol=1e-4, m=5), ls.BackTracking(), False),
