@@ -100,6 +100,12 @@ def build_anchors(jnp, solvers, ls):
          ([-1.0, -1.0], [1.0, 1.0]), 1.0,
          solvers.SpectralProjectedNewton(grad_tol=1e-6),
          ls.BackTrackingB(), 1500),
+        # the opt-in Newton-metric BB pair (PARITY.md L3): same anchor,
+        # shows the lambda-freeze fix also certifies the f32 stop
+        ("spn_expbowl_pbb", expbowl, [0.9, -0.8],
+         ([-1.0, -1.0], [1.0, 1.0]), 1.0,
+         solvers.SpectralProjectedNewton(grad_tol=1e-6, precond_bb=True),
+         ls.BackTrackingB(), 1500),
         ("bfgs_bounded",
          lambda x: x[0] ** 2 + 2.0 * x[1] ** 2 + x[0] * x[1],
          [1.5, 1.5], ([0.0, 0.0], [2.0, 2.0]), 0.0,
