@@ -1296,6 +1296,171 @@ class _MTSpec:
         return mt[0][None, :]
 
 
+class _DcsrchSpec:
+    """MINPACK-2 ``dcsrch`` strong-Wolfe search (``linesearch/dcsrch.py:
+    StrongWolfe`` — the search the Fortran L-BFGS-B uses, reached by the
+    reference through ``setulb_``, ``lbfgsb.rs:36-57``) as a fused tile
+    spec: the same per-lane scalar dataflow on (1, T) rows, reusing the
+    unfused ``_dcstep`` verbatim (it is pure elementwise jnp).  One
+    gradient-bearing trial eval per loop trip through ``ctx.bvg``.
+    ``StrongWolfe(bounded=True)`` caps the max step at the per-coordinate
+    distance to the box boundary (the L-BFGS-B ``stpmx``)."""
+
+    def __init__(self, search):
+        self.c1 = float(search.c1)
+        self.c2 = float(search.c2)
+        self.xtol = float(search.xtol)
+        self.stp_min = float(search.stp_min)
+        self.stp_max = float(search.stp_max)
+        self.bounded = bool(search.bounded)
+        self.xtrapl = float(search.xtrapl)
+        self.xtrapu = float(search.xtrapu)
+
+    def scratch(self, n, T, dtype):
+        # rows: 0=stp 1=stx 2=fx 3=dx 4=sty 5=fy 6=dy 7=brackt 8=stage1
+        #       9=width 10=width1 11=stmin 12=stmax 13=done 14=stpmax_g
+        return [((15, T), dtype)]
+
+    def init(self, st, Fv, ctx):
+        pass
+
+    def run(self, st, X, G, Fv, d, active, bval, max_iter_ls, ctx):
+        from optimization_solvers_tpu.linesearch.dcsrch import _dcstep
+
+        ws = st[0]
+        dtype, T = ctx.dtype, ctx.T
+        c2 = jnp.asarray(self.c2, dtype)
+
+        f0 = Fv
+        ginit = ctx.sum(G * d)
+        gtest = self.c1 * ginit
+
+        stpmax_g = jnp.full((1, T), self.stp_max, dtype)
+        if self.bounded:
+            stpmax_g = jnp.minimum(stpmax_g, ctx.max_feasible_step(X, d))
+        stpmin_g = jnp.full((1, T), self.stp_min, dtype)
+
+        stp0 = jnp.clip(jnp.ones((1, T), dtype), stpmin_g, stpmax_g)
+        descent = ginit < 0.0
+        stp0 = jnp.where(descent, stp0, jnp.zeros((1, T), dtype))
+        width0 = stpmax_g - stpmin_g
+
+        ws[0] = stp0[0]
+        ws[1] = jnp.zeros((T,), dtype)           # stx
+        ws[2] = f0[0]                            # fx
+        ws[3] = ginit[0]                         # dx
+        ws[4] = jnp.zeros((T,), dtype)           # sty
+        ws[5] = f0[0]                            # fy
+        ws[6] = ginit[0]                         # dy
+        ws[7] = jnp.zeros((T,), dtype)           # brackt (0/1)
+        ws[8] = jnp.ones((T,), dtype)            # stage1 (0/1)
+        ws[9] = width0[0]
+        ws[10] = (width0 / 0.5)[0]
+        ws[11] = jnp.zeros((T,), dtype)          # stmin
+        ws[12] = (stp0 + self.xtrapu * stp0)[0]  # stmax
+        # MINPACK 'INITIAL G >= 0' guard: non-descent lanes exit with t=0
+        ws[13] = ((~active) | ~descent)[0].astype(dtype)
+        ws[14] = stpmax_g[0]
+
+        def phi(t):
+            f_t, g_t = ctx.bvg(X + t * d)
+            return f_t, ctx.sum(g_t * d)
+
+        def cond(s):
+            i, n_go = s
+            return (i < max_iter_ls) & (n_go > 0)
+
+        def body(s):
+            i, _ = s
+            stp = ws[0][None, :]
+            stx = ws[1][None, :]
+            fx = ws[2][None, :]
+            dx = ws[3][None, :]
+            sty = ws[4][None, :]
+            fy = ws[5][None, :]
+            dy = ws[6][None, :]
+            brackt = ws[7][None, :] > 0
+            stage1 = ws[8][None, :] > 0
+            width = ws[9][None, :]
+            width1 = ws[10][None, :]
+            stmin = ws[11][None, :]
+            stmax = ws[12][None, :]
+            done = ws[13][None, :] > 0
+            smax_g = ws[14][None, :]
+
+            f, g = phi(stp)
+            ftest = f0 + stp * gtest
+
+            stage1_n = stage1 & ~((f <= ftest) & (g >= 0.0))
+
+            wolfe = (f <= ftest) & (jnp.abs(g) <= c2 * (-ginit))
+            small = brackt & (stmax - stmin <= self.xtol * stmax)
+            at_max = (stp == smax_g) & (f <= ftest) & (g <= gtest)
+            at_min = (stp == stpmin_g) & ((f > ftest) | (g >= gtest))
+            out_of_interval = brackt & ((stp <= stmin) | (stp >= stmax))
+            finish = wolfe | small | at_max | at_min | out_of_interval
+
+            use_mod = stage1_n & (f <= fx) & (f > ftest)
+            fm = jnp.where(use_mod, f - stp * gtest, f)
+            fxm = jnp.where(use_mod, fx - stx * gtest, fx)
+            fym = jnp.where(use_mod, fy - sty * gtest, fy)
+            gm = jnp.where(use_mod, g - gtest, g)
+            gxm = jnp.where(use_mod, dx - gtest, dx)
+            gym = jnp.where(use_mod, dy - gtest, dy)
+
+            stx_n, fx_n, dx_n, sty_n, fy_n, dy_n, stp_n, brackt_n = _dcstep(
+                stx, fxm, gxm, sty, fym, gym, stp, fm, gm,
+                brackt, stmin, stmax)
+
+            fx_n = jnp.where(use_mod, fx_n + stx_n * gtest, fx_n)
+            fy_n = jnp.where(use_mod, fy_n + sty_n * gtest, fy_n)
+            dx_n = jnp.where(use_mod, dx_n + gtest, dx_n)
+            dy_n = jnp.where(use_mod, dy_n + gtest, dy_n)
+
+            bisect = brackt_n & (jnp.abs(sty_n - stx_n) >= 0.66 * width1)
+            stp_n = jnp.where(bisect, stx_n + 0.5 * (sty_n - stx_n), stp_n)
+            width1_n = jnp.where(brackt_n, width, width1)
+            width_n = jnp.where(brackt_n, jnp.abs(sty_n - stx_n), width)
+
+            stmin_n = jnp.where(brackt_n, jnp.fmin(stx_n, sty_n),
+                                stp_n + self.xtrapl * (stp_n - stx_n))
+            stmax_n = jnp.where(brackt_n, jnp.fmax(stx_n, sty_n),
+                                stp_n + self.xtrapu * (stp_n - stx_n))
+            stp_n = jnp.clip(stp_n, stpmin_g, smax_g)
+
+            give_up = (brackt_n & ((stp_n <= stmin_n)
+                                   | (stp_n >= stmax_n))) | (
+                brackt_n & (stmax_n - stmin_n <= self.xtol * stmax_n))
+            stp_n = jnp.where(give_up, stx_n, stp_n)
+
+            frozen = done | finish
+            ws[0] = jnp.where(frozen, stp, stp_n)[0]
+            ws[1] = jnp.where(frozen, stx, stx_n)[0]
+            ws[2] = jnp.where(frozen, fx, fx_n)[0]
+            ws[3] = jnp.where(frozen, dx, dx_n)[0]
+            ws[4] = jnp.where(frozen, sty, sty_n)[0]
+            ws[5] = jnp.where(frozen, fy, fy_n)[0]
+            ws[6] = jnp.where(frozen, dy, dy_n)[0]
+            # Mosaic: select between float 0/1 encodings, never i1 vectors
+            ws[7] = jnp.where(frozen, ws[7][None, :],
+                              (brackt | brackt_n).astype(dtype))[0]
+            ws[8] = jnp.where(frozen, ws[8][None, :],
+                              stage1_n.astype(dtype))[0]
+            ws[9] = jnp.where(frozen, width, width_n)[0]
+            ws[10] = jnp.where(frozen, width1, width1_n)[0]
+            ws[11] = jnp.where(frozen, stmin, stmin_n)[0]
+            ws[12] = jnp.where(frozen, stmax, stmax_n)[0]
+            ws[13] = frozen[0].astype(dtype)
+            n_go = jnp.sum((ws[13] == 0.0).astype(jnp.int32),
+                           dtype=jnp.int32)
+            return (i + 1, n_go)
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+        # exhaustion (never finished) returns the best step found (stx)
+        done = ws[13][None, :] > 0
+        return jnp.where(done, ws[0][None, :], ws[1][None, :])
+
+
 class _HZSpec:
     """Hager-Zhang (CG_DESCENT approximate-Wolfe) as a fused tile spec —
     the flattened bracket/bisect/secant state machine of
@@ -1490,6 +1655,8 @@ def _build_specs(method, line_search):
         lspec = _HZSpec(line_search, bounded=True)
     elif isinstance(line_search, ls.HagerZhang):
         lspec = _HZSpec(line_search, bounded=False)
+    elif isinstance(line_search, ls.StrongWolfe):
+        lspec = _DcsrchSpec(line_search)
     elif isinstance(line_search, ls.NoSearch):
         lspec = _NoSearchSpec()
     else:

@@ -192,6 +192,11 @@ def test_fused_supported_combos():
     # dense QN family (incl. bounded) is covered
     assert fused_supported(solvers.BFGS(), ls.BackTracking())
     assert fused_supported(solvers.SR1B(), ls.BackTrackingB())
+    # MINPACK dcsrch strong Wolfe (round 3): unbounded + bounded
+    assert fused_supported(solvers.LBFGS(), ls.StrongWolfe())
+    assert fused_supported(solvers.BFGSB(), ls.StrongWolfe(bounded=True))
+    assert not fused_supported(
+        solvers.GradientDescent(), ls.StrongWolfe(bounded=True))
 
 
 def test_unsupported_combo_raises():
@@ -454,3 +459,44 @@ def test_mt_approx_wolfe_closes_lbfgs_tail():
         m, mt_aw, rosen, x0, max_iter=600, max_iter_ls=30,
         tile=32, interpret=True)
     assert (np.asarray(r_f.status) == 1).all()
+
+
+def test_dcsrch_fused_matches_unfused():
+    """The fused MINPACK dcsrch (StrongWolfe) spec must reproduce the
+    unfused search's trajectories: exact iteration counts on the stable
+    quadratic, convergence parity on the bounded box problem."""
+    n, B = 16, 32
+    d = jnp.asarray(np.linspace(1.0, 40.0, n))
+
+    def quadc(x, dd):
+        return 0.5 * jnp.sum(dd * x * x)
+
+    def quad(x):
+        return 0.5 * jnp.sum(d * x * x)
+
+    x0 = jnp.asarray(np.random.RandomState(0).uniform(-1.4, 2.4, (B, n)))
+    m = solvers.LBFGS(tol=1e-6, m=5)
+    r_u = solvers.batch_minimize(
+        m, ls.StrongWolfe(), make_oracle(quad), x0, fused=False,
+        max_iter=200, max_iter_ls=30)
+    r_f = fused_minimize(
+        m, ls.StrongWolfe(), quadc, x0, consts=(d,),
+        max_iter=200, max_iter_ls=30, tile=32, interpret=True)
+    assert (np.asarray(r_f.status) == 1).all()
+    np.testing.assert_array_equal(
+        np.asarray(r_u.iterations), np.asarray(r_f.iterations))
+    np.testing.assert_allclose(
+        np.asarray(r_u.x), np.asarray(r_f.x), atol=1e-10)
+
+    lo, hi = jnp.full(n, -1.5), jnp.full(n, 2.5)
+    mb = solvers.BFGSB(tol=1e-6)
+    swb = ls.StrongWolfe(bounded=True)
+    r_ub = solvers.batch_minimize(
+        mb, swb, make_oracle(quad), x0, bounds=(lo, hi), fused=False,
+        max_iter=300, max_iter_ls=30)
+    r_fb = fused_minimize(
+        mb, swb, quadc, x0, lower=lo, upper=hi, consts=(d,),
+        max_iter=300, max_iter_ls=30, tile=32, interpret=True)
+    assert (np.asarray(r_fb.status) == 1).all()
+    np.testing.assert_allclose(
+        np.asarray(r_ub.x), np.asarray(r_fb.x), atol=1e-10)

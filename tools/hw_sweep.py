@@ -60,6 +60,9 @@ COMBOS = [
     # opt-in T2 acceptance (closes the f32 near-minimum MT livelock)
     ("LBFGS+MT-aw", solvers.LBFGS(tol=1e-4, m=5), ls.MoreThuente(approx_wolfe=True), False),
     ("LBFGS+HZ", solvers.LBFGS(tol=1e-4, m=5), ls.HagerZhang(), False),
+    # fused MINPACK dcsrch (the Fortran L-BFGS-B's own search)
+    ("LBFGS+SW", solvers.LBFGS(tol=1e-4, m=5), ls.StrongWolfe(), False),
+    ("BFGSB+SWB", solvers.BFGSB(tol=1e-5), ls.StrongWolfe(bounded=True), True),
     ("BFGSB+HZB", solvers.BFGSB(tol=1e-5), ls.HagerZhangB(), True),
     ("LBFGS+BT", solvers.LBFGS(tol=1e-4, m=5), ls.BackTracking(), False),
     ("Newton+NoSearch", solvers.Newton(tol=1e-8), ls.NoSearch(), False),
