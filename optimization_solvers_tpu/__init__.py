@@ -36,6 +36,7 @@ from optimization_solvers_tpu import parallel
 from optimization_solvers_tpu import utils
 from optimization_solvers_tpu import api
 from optimization_solvers_tpu import ops
+from optimization_solvers_tpu.frontend import minimize
 
 __version__ = "0.1.0"
 
@@ -47,6 +48,7 @@ __all__ = [
     "infinity_norm",
     "projected_gradient",
     "make_oracle",
+    "minimize",
     "problems",
     "linesearch",
     "solvers",

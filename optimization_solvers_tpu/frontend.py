@@ -1,0 +1,182 @@
+"""One-call front end: ``optimization_solvers_tpu.minimize(f, x0, ...)``.
+
+A convenience entry in the spirit of ``scipy.optimize.minimize`` for users
+switching from the reference crate (whose universal entry point is the
+solver-object ``minimize`` template, ``/root/reference/src/ls_solver.rs:66``)
+or from SciPy: pick a method by NAME, hand in a plain scalar objective, get
+a :class:`~optimization_solvers_tpu.core.types.SolveResult`.
+
+- ``x0`` with a leading batch axis (2-D) routes through
+  :func:`solvers.batch_minimize` — on TPU, supported (method, search)
+  combos run as fused whole-solve Pallas kernels; 1-D ``x0`` runs the
+  single-instance driver.
+- ``method="lbfgsb"`` routes to the dedicated Byrd-Lu-Nocedal-Zhu
+  backends (the reference's Fortran-FFI capability).
+- pass ``data=(...)`` for problem-data arrays (``f(x, *data)``) so the
+  objective can cross the fused-kernel boundary.
+
+Example::
+
+    import optimization_solvers_tpu as ost
+    res = ost.minimize(lambda x: (x ** 2).sum(), x0, method="bfgs")
+    res = ost.minimize(rosen, x0_batch, method="lbfgsb",
+                       bounds=(lo, hi), tol=1e-6)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _method_and_search(name, tol, options):
+    from optimization_solvers_tpu import linesearch as ls, solvers
+
+    def opt(cls, **defaults):
+        kw = dict(defaults)
+        kw.update({k: options[k] for k in list(options)
+                   if k in cls.__dataclass_fields__})
+        return cls(**kw)
+
+    name = name.lower().replace("-", "_").replace(" ", "_")
+    table = {
+        # name: (method factory, default search, bounded)
+        "gd": (lambda: opt(solvers.GradientDescent, grad_tol=tol),
+               ls.BackTracking(), False),
+        "cd": (lambda: opt(solvers.CoordinateDescent, grad_tol=tol),
+               ls.BackTracking(), False),
+        "pgd": (lambda: opt(solvers.ProjectedGradientDescent, grad_tol=tol),
+                ls.BackTrackingB(), True),
+        "spg": (lambda: opt(solvers.SpectralProjectedGradient, grad_tol=tol),
+                ls.GLLQuadratic(), True),
+        "newton": (lambda: opt(solvers.Newton, tol=tol),
+                   ls.MoreThuente(), False),
+        "pn": (lambda: opt(solvers.ProjectedNewton, grad_tol=tol),
+               ls.BackTrackingB(), True),
+        "spn": (lambda: opt(solvers.SpectralProjectedNewton, grad_tol=tol),
+                ls.BackTrackingB(), True),
+        "newton_cg": "newton_cg",
+        "bfgs": (lambda: opt(solvers.BFGS, tol=tol),
+                 ls.MoreThuente(), False),
+        "dfp": (lambda: opt(solvers.DFP, tol=tol), ls.MoreThuente(), False),
+        "broyden": (lambda: opt(solvers.Broyden, tol=tol),
+                    ls.MoreThuente(), False),
+        "bfgsb": (lambda: opt(solvers.BFGSB, tol=tol),
+                  ls.MoreThuenteB(), True),
+        "dfpb": (lambda: opt(solvers.DFPB, tol=tol),
+                 ls.MoreThuenteB(), True),
+        "broydenb": (lambda: opt(solvers.BroydenB, tol=tol),
+                     ls.MoreThuenteB(), True),
+        "sr1b": (lambda: opt(solvers.SR1B, tol=tol),
+                 ls.MoreThuenteB(), True),
+        "ncg": (lambda: opt(solvers.NonlinearCG, grad_tol=tol),
+                ls.BackTracking(), False),
+        "lbfgs": (lambda: opt(solvers.LBFGS, tol=tol),
+                  ls.HagerZhang(), False),
+    }
+    aliases = {"gradient_descent": "gd", "coordinate_descent": "cd",
+               "projected_gradient": "pgd", "projected_newton": "pn",
+               "nonlinear_cg": "ncg", "l_bfgs": "lbfgs"}
+    name = aliases.get(name, name)
+    if name not in table:
+        raise ValueError(
+            f"unknown method {name!r}; choose from "
+            f"{sorted(table) + ['lbfgsb', 'pnorm (via solvers.PnormDescent)']}")
+    return table[name]
+
+
+def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
+             tol: float = 1e-6, max_iter: int = 1000, max_iter_ls: int = 40,
+             search=None, **options):
+    """Minimize scalar ``f`` from ``x0`` with the named method.
+
+    ``f``: plain scalar objective (``f(x)`` or ``f(x, *data)``) or an
+    oracle from :func:`make_oracle`.  ``x0``: (n,) for a single solve,
+    (B, n) for a lockstep batch (fused Pallas kernels on TPU when the
+    combo supports it).  ``search`` overrides the method's default line
+    search.  Extra keyword ``options`` are forwarded to the method config
+    when its dataclass has the field (e.g. ``m=10`` for lbfgs/lbfgsb,
+    ``precond_bb=True`` for spn).
+    """
+    from optimization_solvers_tpu.core.oracle import make_oracle
+    from optimization_solvers_tpu import solvers
+
+    x0 = jnp.asarray(x0)
+    batched = x0.ndim == 2
+    name = method.lower().replace("-", "_")
+
+    if name in ("lbfgsb", "l_bfgs_b"):
+        from optimization_solvers_tpu.solvers.lbfgsb import (
+            LbfgsbConfig, lbfgsb_batch_minimize, lbfgsb_minimize)
+
+        n = x0.shape[-1]
+        if bounds is None:
+            lower = jnp.full((n,), -jnp.inf, x0.dtype)
+            upper = jnp.full((n,), jnp.inf, x0.dtype)
+        else:
+            lower = jnp.broadcast_to(jnp.asarray(bounds[0], x0.dtype), (n,))
+            upper = jnp.broadcast_to(jnp.asarray(bounds[1], x0.dtype), (n,))
+        cfg_fields = set(LbfgsbConfig.__dataclass_fields__)
+        # factr is RELATIVE to the working dtype's machine epsilon (the
+        # Fortran convention): the f64-flavored default 1e7 means "stop at
+        # ~1.19 relative decrease" in f32 — i.e. immediately.  Default it
+        # dtype-aware unless the caller picks a value.
+        factr = options.pop(
+            "factr", 1e7 if x0.dtype == jnp.float64 else 100.0)
+        cfg = LbfgsbConfig(
+            pgtol=options.pop("pgtol", tol), factr=factr, max_iter=max_iter,
+            max_iter_ls=max(max_iter_ls, 20),
+            **{k: options.pop(k) for k in list(options) if k in cfg_fields})
+        oracle = f if hasattr(f, "value") else make_oracle(f, data=tuple(data))
+        if batched:
+            return solvers.batch_lbfgsb_minimize(
+                oracle, x0, lower, upper, cfg
+            ) if hasattr(solvers, "batch_lbfgsb_minimize") else \
+                lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg)
+        return lbfgsb_minimize(oracle, x0, lower, upper, cfg)
+
+    if name == "newton_cg":
+        from optimization_solvers_tpu.solvers.newton_cg import (
+            NewtonCGConfig, newton_cg_batch_minimize, newton_cg_minimize)
+
+        n = x0.shape[-1]
+        if bounds is None:
+            lower = jnp.full((n,), -jnp.inf, x0.dtype)
+            upper = jnp.full((n,), jnp.inf, x0.dtype)
+        else:
+            lower = jnp.broadcast_to(jnp.asarray(bounds[0], x0.dtype), (n,))
+            upper = jnp.broadcast_to(jnp.asarray(bounds[1], x0.dtype), (n,))
+        cfg_fields = set(NewtonCGConfig.__dataclass_fields__)
+        factr = options.pop(
+            "factr", 1e7 if x0.dtype == jnp.float64 else 100.0)
+        cfg = NewtonCGConfig(
+            pgtol=options.pop("pgtol", tol), factr=factr, max_iter=max_iter,
+            **{k: options.pop(k) for k in list(options) if k in cfg_fields})
+        oracle = f if hasattr(f, "value") else make_oracle(f, data=tuple(data))
+        fn = newton_cg_batch_minimize if batched else newton_cg_minimize
+        return fn(oracle, x0, lower, upper, cfg)
+
+    make_m, default_search, needs_bounds = _method_and_search(
+        method, tol, options)
+    m = make_m()
+    s = search if search is not None else default_search
+    if needs_bounds and bounds is None:
+        raise ValueError(f"method {method!r} requires bounds=(lower, upper)")
+    if bounds is not None:
+        n = x0.shape[-1]
+        bounds = (jnp.broadcast_to(jnp.asarray(bounds[0], x0.dtype), (n,)),
+                  jnp.broadcast_to(jnp.asarray(bounds[1], x0.dtype), (n,)))
+        if not needs_bounds:
+            raise ValueError(
+                f"method {method!r} is unconstrained; use its bounded "
+                "sibling (pgd/spg/pn/spn/bfgsb/dfpb/broydenb/sr1b/lbfgsb) "
+                "for box constraints")
+    oracle = f if hasattr(f, "value") else make_oracle(
+        f, data=tuple(data),
+        with_hessian=getattr(m, "needs_hessian", False))
+    if batched:
+        return solvers.batch_minimize(
+            m, s, oracle, x0, bounds=bounds,
+            max_iter=max_iter, max_iter_ls=max_iter_ls)
+    return solvers.minimize(
+        m, s, oracle, x0, bounds=bounds,
+        max_iter=max_iter, max_iter_ls=max_iter_ls)

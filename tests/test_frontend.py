@@ -1,0 +1,57 @@
+"""One-call front end (optimization_solvers_tpu.minimize) — scipy-style
+method-by-name entry over the same driver/kernels."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import optimization_solvers_tpu as ost
+
+
+def _rosen(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2)
+
+
+def test_single_instance_default_and_named_methods():
+    res = ost.minimize(lambda x: jnp.sum((x - 2.0) ** 2), jnp.zeros(4),
+                       method="bfgs")
+    assert int(res.status) == 1 and abs(float(res.f)) < 1e-10
+    res = ost.minimize(_rosen, jnp.full(8, -1.2), method="newton_cg")
+    assert int(res.status) == 1
+    res = ost.minimize(_rosen, jnp.full(8, -1.2), method="lbfgs", tol=1e-8)
+    assert int(res.status) == 1 and float(res.f) < 1e-12
+
+
+def test_batched_lbfgsb_with_options():
+    x0 = jnp.asarray(np.random.RandomState(0).uniform(-2, 2, (8, 10)))
+    res = ost.minimize(_rosen, x0, method="lbfgsb", bounds=(-5.0, 5.0),
+                       tol=1e-6, m=7)
+    assert (np.asarray(res.status) == 1).all()
+    # lanes reach either the global minimum or Rosenbrock's local one
+    f = np.asarray(res.f)
+    assert ((f < 1e-8) | (np.abs(f - 3.9866) < 1e-2)).all(), f
+
+
+def test_option_passthrough_and_bounds():
+    d = jnp.linspace(1.0, 20.0, 6)
+
+    def quad(x):
+        return 0.5 * jnp.sum(d * x * x)
+
+    res = ost.minimize(quad, jnp.full(6, 1.2), method="spn",
+                       bounds=(-2.0, 2.0), precond_bb=True)
+    assert int(res.status) == 1 and int(res.iterations) <= 10
+    res = ost.minimize(lambda x, dd: 0.5 * jnp.sum(dd * x * x),
+                       jnp.ones((4, 6)), method="spg", bounds=(-1.0, 2.0),
+                       data=(d,))
+    assert (np.asarray(res.status) == 1).all()
+
+
+def test_frontend_errors():
+    q = lambda x: jnp.sum(x * x)
+    with pytest.raises(ValueError, match="unknown method"):
+        ost.minimize(q, jnp.ones(3), method="nope")
+    with pytest.raises(ValueError, match="unconstrained"):
+        ost.minimize(q, jnp.ones(3), method="bfgs", bounds=(-1, 1))
+    with pytest.raises(ValueError, match="requires bounds"):
+        ost.minimize(q, jnp.ones(3), method="pgd")
