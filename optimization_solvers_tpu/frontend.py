@@ -25,6 +25,8 @@ Example::
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 
@@ -32,10 +34,13 @@ def _method_and_search(name, tol, options):
     from optimization_solvers_tpu import linesearch as ls, solvers
 
     def opt(cls, **defaults):
-        kw = dict(defaults)
-        kw.update({k: options[k] for k in list(options)
-                   if k in cls.__dataclass_fields__})
-        return cls(**kw)
+        # cls may be a frozen dataclass or a factory function (BFGS/DFP/
+        # Broyden wrap QuasiNewton): build first, then overlay options
+        # that name fields of the resulting config
+        inst = cls(**defaults)
+        fields = set(type(inst).__dataclass_fields__)
+        kw = {k: options[k] for k in list(options) if k in fields}
+        return dataclasses.replace(inst, **kw) if kw else inst
 
     name = name.lower().replace("-", "_").replace(" ", "_")
     table = {
@@ -46,6 +51,8 @@ def _method_and_search(name, tol, options):
                ls.BackTracking(), False),
         "pgd": (lambda: opt(solvers.ProjectedGradientDescent, grad_tol=tol),
                 ls.BackTrackingB(), True),
+        "pnorm": (lambda: opt(solvers.PnormDescent, grad_tol=tol),
+                  ls.BackTracking(), False),
         "spg": (lambda: opt(solvers.SpectralProjectedGradient, grad_tol=tol),
                 ls.GLLQuadratic(), True),
         "newton": (lambda: opt(solvers.Newton, tol=tol),
@@ -54,7 +61,6 @@ def _method_and_search(name, tol, options):
                ls.BackTrackingB(), True),
         "spn": (lambda: opt(solvers.SpectralProjectedNewton, grad_tol=tol),
                 ls.BackTrackingB(), True),
-        "newton_cg": "newton_cg",
         "bfgs": (lambda: opt(solvers.BFGS, tol=tol),
                  ls.MoreThuente(), False),
         "dfp": (lambda: opt(solvers.DFP, tol=tol), ls.MoreThuente(), False),
@@ -80,7 +86,7 @@ def _method_and_search(name, tol, options):
     if name not in table:
         raise ValueError(
             f"unknown method {name!r}; choose from "
-            f"{sorted(table) + ['lbfgsb', 'pnorm (via solvers.PnormDescent)']}")
+            f"{sorted(table) + ['lbfgsb', 'newton_cg']}")
     return table[name]
 
 
@@ -126,12 +132,11 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
             pgtol=options.pop("pgtol", tol), factr=factr, max_iter=max_iter,
             max_iter_ls=max(max_iter_ls, 20),
             **{k: options.pop(k) for k in list(options) if k in cfg_fields})
+        if options:
+            raise TypeError(f"unknown lbfgsb option(s) {sorted(options)}")
         oracle = f if hasattr(f, "value") else make_oracle(f, data=tuple(data))
         if batched:
-            return solvers.batch_lbfgsb_minimize(
-                oracle, x0, lower, upper, cfg
-            ) if hasattr(solvers, "batch_lbfgsb_minimize") else \
-                lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg)
+            return lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg)
         return lbfgsb_minimize(oracle, x0, lower, upper, cfg)
 
     if name == "newton_cg":
@@ -151,6 +156,8 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
         cfg = NewtonCGConfig(
             pgtol=options.pop("pgtol", tol), factr=factr, max_iter=max_iter,
             **{k: options.pop(k) for k in list(options) if k in cfg_fields})
+        if options:
+            raise TypeError(f"unknown newton_cg option(s) {sorted(options)}")
         oracle = f if hasattr(f, "value") else make_oracle(f, data=tuple(data))
         fn = newton_cg_batch_minimize if batched else newton_cg_minimize
         return fn(oracle, x0, lower, upper, cfg)
@@ -158,6 +165,10 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     make_m, default_search, needs_bounds = _method_and_search(
         method, tol, options)
     m = make_m()
+    unknown = set(options) - set(type(m).__dataclass_fields__)
+    if unknown:
+        raise TypeError(
+            f"unknown option(s) {sorted(unknown)} for method {method!r}")
     s = search if search is not None else default_search
     if needs_bounds and bounds is None:
         raise ValueError(f"method {method!r} requires bounds=(lower, upper)")

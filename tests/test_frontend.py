@@ -55,3 +55,19 @@ def test_frontend_errors():
         ost.minimize(q, jnp.ones(3), method="bfgs", bounds=(-1, 1))
     with pytest.raises(ValueError, match="requires bounds"):
         ost.minimize(q, jnp.ones(3), method="pgd")
+
+
+def test_frontend_pnorm():
+    inv_p = jnp.linalg.inv(jnp.array([[2.0, 0.0], [0.0, 8.0]]))
+    res = ost.minimize(lambda x: x[0] ** 2 + 4.0 * x[1] ** 2,
+                       jnp.array([15.0, -7.0]), method="pnorm",
+                       inverse_p=inv_p)
+    assert int(res.status) == 1 and float(res.f) < 1e-10
+
+
+def test_frontend_rejects_unknown_options():
+    q = lambda x: jnp.sum(x * x)
+    with pytest.raises(TypeError, match="unknown option"):
+        ost.minimize(q, jnp.ones(3), method="bfgs", emm=3)
+    with pytest.raises(TypeError, match="unknown lbfgsb option"):
+        ost.minimize(q, jnp.ones(3), method="lbfgsb", emm=3)
