@@ -134,8 +134,40 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
             **{k: options.pop(k) for k in list(options) if k in cfg_fields})
         if options:
             raise TypeError(f"unknown lbfgsb option(s) {sorted(options)}")
-        oracle = f if hasattr(f, "value") else make_oracle(f, data=tuple(data))
+        raw = not hasattr(f, "value")
+        oracle = f if not raw else make_oracle(f, data=tuple(data))
         if batched:
+            # accelerator route: the dedicated fused whole-solve kernel
+            # (~90x the lockstep XLA path on the headline) when the
+            # objective is a raw scalar callable; lockstep otherwise or on
+            # any kernel-side failure (unfusable objective, VMEM)
+            import jax
+
+            B, n = x0.shape
+            tile = 512 if B % 512 == 0 else (256 if B >= 256 else B)
+            # whole-solve VMEM residency: histories + slabs are
+            # ~(2m + 10) * n * tile * 4 bytes; past ~100 MB the kernel
+            # cannot compile — go straight to the lockstep XLA path
+            # (which is what the 10k-dim config-4 workload uses)
+            fits = (2 * cfg.m + 10) * n * tile * 4 < 100 * 2 ** 20
+            if raw and fits and jax.default_backend() == "tpu":
+                from optimization_solvers_tpu.ops.pallas_lbfgsb import (
+                    lbfgsb_solve_fused)
+                pad = (-B) % tile
+                xb = x0 if not pad else jnp.concatenate(
+                    [x0, jnp.broadcast_to(x0[:1], (pad, n))], axis=0)
+                try:
+                    r = lbfgsb_solve_fused(
+                        f, xb, lower, upper, consts=tuple(data), m=cfg.m,
+                        pgtol=cfg.pgtol, factr=cfg.factr,
+                        max_iter=cfg.max_iter,
+                        max_iter_ls=max(cfg.max_iter_ls, 20), tile=tile,
+                        c1=cfg.ls_c1)
+                    if pad:
+                        r = jax.tree.map(lambda a: a[:B], r)
+                    return r
+                except Exception:
+                    pass  # fall back to the lockstep XLA path
             return lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg)
         return lbfgsb_minimize(oracle, x0, lower, upper, cfg)
 
