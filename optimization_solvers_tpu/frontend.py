@@ -26,6 +26,7 @@ Example::
 from __future__ import annotations
 
 import dataclasses
+import weakref
 
 import jax.numpy as jnp
 
@@ -90,8 +91,71 @@ def _method_and_search(name, tol, options):
     return table[name]
 
 
+# objective -> {probe key: verdict}; weak keys so dynamically-created
+# objectives are not pinned forever (id-reuse-safe, like the driver's
+# _FUSED_PROBED)
+_FUSED_LBFGSB_PROBED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile):
+    """Dedicated fused-kernel route for the batched lbfgsb method, with the
+    same outer-jit safety the driver's generic route has: when called under
+    an outer ``jax.jit`` a kernel-compile failure would surface at the
+    OUTER compile where no try/except here can catch it, so under a tracer
+    the kernel is AOT compile-probed first.  Returns ``None`` to send the
+    caller to the lockstep XLA path."""
+    import jax
+
+    from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
+
+    B, n = x0.shape
+    pad = (-B) % tile
+
+    def run(xb_, lo_, up_, cs):
+        return lbfgsb_solve_fused(
+            f, xb_, lo_, up_, consts=cs, m=cfg.m, pgtol=cfg.pgtol,
+            factr=cfg.factr, max_iter=cfg.max_iter,
+            max_iter_ls=max(cfg.max_iter_ls, 20), tile=tile, c1=cfg.ls_c1)
+
+    if isinstance(x0, jax.core.Tracer):
+        def aval(v):
+            return jax.ShapeDtypeStruct(jnp.shape(v), jnp.result_type(v))
+
+        pkey = ((B + pad, n), str(jnp.result_type(x0)),
+                tuple((jnp.shape(c), str(jnp.result_type(c)))
+                      for c in consts),
+                cfg.m, cfg.pgtol, cfg.factr, cfg.max_iter,
+                max(cfg.max_iter_ls, 20), tile, cfg.ls_c1)
+        try:
+            cache = _FUSED_LBFGSB_PROBED.setdefault(f, {})
+        except TypeError:       # non-weakref-able callable: probe per call
+            cache = {}
+        verdict = cache.get(pkey)
+        if verdict is None:
+            try:
+                jax.jit(run).lower(
+                    jax.ShapeDtypeStruct((B + pad, n), jnp.result_type(x0)),
+                    aval(lower), aval(upper),
+                    tuple(aval(c) for c in consts)).compile()
+                verdict = True
+            except Exception:
+                verdict = False
+            cache[pkey] = verdict
+        if not verdict:
+            return None
+    xb = x0 if not pad else jnp.concatenate(
+        [x0, jnp.broadcast_to(x0[:1], (pad, n))], axis=0)
+    try:
+        r = run(xb, lower, upper, consts)
+    except Exception:
+        return None  # eager path: fall back to lockstep
+    if pad:
+        r = jax.tree.map(lambda a: a[:B], r)
+    return r
+
+
 def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
-             tol: float = 1e-6, max_iter: int = 1000, max_iter_ls: int = 40,
+             tol: float = 1e-6, max_iter: int = 1000, max_iter_ls=None,
              search=None, **options):
     """Minimize scalar ``f`` from ``x0`` with the named method.
 
@@ -99,9 +163,20 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     oracle from :func:`make_oracle`.  ``x0``: (n,) for a single solve,
     (B, n) for a lockstep batch (fused Pallas kernels on TPU when the
     combo supports it).  ``search`` overrides the method's default line
-    search.  Extra keyword ``options`` are forwarded to the method config
-    when its dataclass has the field (e.g. ``m=10`` for lbfgs/lbfgsb,
-    ``precond_bb=True`` for spn).
+    search.  ``max_iter_ls`` defaults per method family (40 for the
+    template methods, 20 for lbfgsb/newton_cg) and is honored verbatim
+    when given.  Extra keyword ``options`` are forwarded to the method
+    config when its dataclass has the field (e.g. ``m=10`` for
+    lbfgs/lbfgsb, ``precond_bb=True`` for spn).
+
+    The batched ``method="lbfgsb"`` route uses the fused whole-solve TPU
+    kernel when the objective is a raw callable and the VMEM footprint
+    fits; that kernel pairs the L-BFGS-B step with a projected Armijo
+    backtracking search (value-only) rather than the XLA path's dcsrch
+    strong Wolfe, and it honors m/pgtol/factr/max_iter/max_iter_ls/ls_c1
+    only — passing a non-default ``ls_c2``, ``rel_pg_stop`` or
+    ``verbose`` keeps the solve on the lockstep dcsrch path that honors
+    them.
     """
     from optimization_solvers_tpu.core.oracle import make_oracle
     from optimization_solvers_tpu import solvers
@@ -130,7 +205,7 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
             "factr", 1e7 if x0.dtype == jnp.float64 else 100.0)
         cfg = LbfgsbConfig(
             pgtol=options.pop("pgtol", tol), factr=factr, max_iter=max_iter,
-            max_iter_ls=max(max_iter_ls, 20),
+            max_iter_ls=20 if max_iter_ls is None else max_iter_ls,
             **{k: options.pop(k) for k in list(options) if k in cfg_fields})
         if options:
             raise TypeError(f"unknown lbfgsb option(s) {sorted(options)}")
@@ -150,24 +225,19 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
             # cannot compile — go straight to the lockstep XLA path
             # (which is what the 10k-dim config-4 workload uses)
             fits = (2 * cfg.m + 10) * n * tile * 4 < 100 * 2 ** 20
-            if raw and fits and jax.default_backend() == "tpu":
-                from optimization_solvers_tpu.ops.pallas_lbfgsb import (
-                    lbfgsb_solve_fused)
-                pad = (-B) % tile
-                xb = x0 if not pad else jnp.concatenate(
-                    [x0, jnp.broadcast_to(x0[:1], (pad, n))], axis=0)
-                try:
-                    r = lbfgsb_solve_fused(
-                        f, xb, lower, upper, consts=tuple(data), m=cfg.m,
-                        pgtol=cfg.pgtol, factr=cfg.factr,
-                        max_iter=cfg.max_iter,
-                        max_iter_ls=max(cfg.max_iter_ls, 20), tile=tile,
-                        c1=cfg.ls_c1)
-                    if pad:
-                        r = jax.tree.map(lambda a: a[:B], r)
+            # options the kernel does not honor keep the solve on the
+            # lockstep dcsrch path (see docstring) instead of silently
+            # dropping them
+            default = LbfgsbConfig()
+            honored = (cfg.ls_c2 == default.ls_c2
+                       and cfg.rel_pg_stop == default.rel_pg_stop
+                       and cfg.verbose == default.verbose
+                       and cfg.curvature_eps == default.curvature_eps)
+            if raw and fits and honored and jax.default_backend() == "tpu":
+                r = _fused_lbfgsb_route(f, x0, lower, upper, tuple(data),
+                                        cfg, tile)
+                if r is not None:
                     return r
-                except Exception:
-                    pass  # fall back to the lockstep XLA path
             return lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg)
         return lbfgsb_minimize(oracle, x0, lower, upper, cfg)
 
@@ -185,6 +255,8 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
         cfg_fields = set(NewtonCGConfig.__dataclass_fields__)
         factr = options.pop(
             "factr", 1e7 if x0.dtype == jnp.float64 else 100.0)
+        if max_iter_ls is not None:
+            options.setdefault("max_iter_ls", max_iter_ls)
         cfg = NewtonCGConfig(
             pgtol=options.pop("pgtol", tol), factr=factr, max_iter=max_iter,
             **{k: options.pop(k) for k in list(options) if k in cfg_fields})
@@ -201,6 +273,12 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     if unknown:
         raise TypeError(
             f"unknown option(s) {sorted(unknown)} for method {method!r}")
+    if getattr(m, "inverse_p", False) is None:
+        raise ValueError(
+            "method 'pnorm' requires the inverse_p option "
+            "(the inverse preconditioner matrix, pnorm_descent.rs:30-37)")
+    if max_iter_ls is None:
+        max_iter_ls = 40
     s = search if search is not None else default_search
     if needs_bounds and bounds is None:
         raise ValueError(f"method {method!r} requires bounds=(lower, upper)")

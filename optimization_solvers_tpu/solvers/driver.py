@@ -151,14 +151,13 @@ def _result(final: SolverCarry, max_iter: int,
 
 def _pg_norm(x, g, bounds: Bounds):
     """Exit-time stationarity measure for SolveResult.pg_norm: projected-
-    gradient infinity norm (plain ``||g||_inf`` unbounded)."""
-    from optimization_solvers_tpu.core.numerics import (
-        box_projection, infinity_norm)
+    gradient infinity norm (plain ``||g||_inf`` unbounded) — the shared
+    sbgnrm helper in core.numerics, so the metric has ONE definition."""
+    from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 
     if bounds is None:
-        return infinity_norm(g)
-    lower, upper = bounds
-    return infinity_norm(x - box_projection(x - g, lower, upper))
+        return batched_pg_inf_norm(x, g)
+    return batched_pg_inf_norm(x, g, bounds[0], bounds[1])
 
 
 def minimize(
@@ -262,6 +261,10 @@ def _probe_fused(method, line_search, raw_f, x0, bounds, consts, kwargs):
         type(method), method, type(line_search), line_search,
         jnp.shape(x0), str(jnp.result_type(x0)), bounds is not None,
         kwargs.get("max_iter", 1000), kwargs.get("max_iter_ls", 100),
+        # consts shapes/dtypes are part of the kernel: the same objective
+        # with differently-shaped problem data is a different compile and
+        # may flip the verdict (e.g. VMEM fit)
+        tuple((jnp.shape(c), str(jnp.result_type(c))) for c in consts),
     )
     try:
         cache = _FUSED_PROBED.setdefault(raw_f, {})
@@ -382,11 +385,16 @@ def lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter: int,
 @functools.partial(
     jax.jit,
     static_argnames=("method", "line_search", "oracle", "max_iter",
-                     "max_iter_ls", "callback", "unroll"),
+                     "max_iter_ls", "callback", "unroll", "traced"),
 )
 def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
                              *, max_iter=1000, max_iter_ls=100,
-                             callback=None, unroll=1) -> SolveResult:
+                             callback=None, unroll=1,
+                             traced=False) -> SolveResult:
+    # ``traced`` carries telemetry.debug_enabled() into the jit cache key:
+    # the per-iteration/per-trial tracing callbacks are baked in at TRACE
+    # time, so toggling OST_LOG between calls must miss the cache (the
+    # same staleness _cached_lbfgsb fixes in api.py)
     """Lockstep batched general driver.  Jitted here (static on the
     frozen-dataclass configs and the oracle object) so the batched entry
     point is compiled even when called eagerly: an eager call dispatches
@@ -469,6 +477,8 @@ def batch_minimize(
 
         return jax.vmap(solve_one, in_axes=(0, 0))(x0, bounds)
 
+    from optimization_solvers_tpu.utils import telemetry
+
     return _batch_minimize_lockstep(
         method, line_search, oracle, x0, bounds,
         max_iter=kwargs.get("max_iter", 1000),
@@ -477,6 +487,7 @@ def batch_minimize(
         # lockstep iterations per while trip (lockstep_loop unroll):
         # semantics identical to 1, amortizes big-carry loop overhead
         unroll=kwargs.get("unroll", 1),
+        traced=telemetry.debug_enabled(),
     )
 
 

@@ -191,8 +191,10 @@ def make_newton_cg_step(oracle, lower, upper,
             jnp.where(~finite, jnp.int32(Status.OUT_OF_DOMAIN),
                       jnp.int32(Status.MAX_ITER_REACHED)),
         )
-        pg = infinity_norm(
-            final.x - jnp.clip(final.x - final.g, lower, upper))
+        from optimization_solvers_tpu.core.numerics import (
+            batched_pg_inf_norm)
+
+        pg = batched_pg_inf_norm(final.x, final.g, lower, upper)
         return SolveResult(final.x, final.f, final.g, final.k, status,
                            pg_norm=pg)
 

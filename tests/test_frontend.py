@@ -71,3 +71,49 @@ def test_frontend_rejects_unknown_options():
         ost.minimize(q, jnp.ones(3), method="bfgs", emm=3)
     with pytest.raises(TypeError, match="unknown lbfgsb option"):
         ost.minimize(q, jnp.ones(3), method="lbfgsb", emm=3)
+
+
+def test_frontend_pnorm_requires_inverse_p():
+    with pytest.raises(ValueError, match="inverse_p"):
+        ost.minimize(lambda x: jnp.sum(x * x), jnp.ones(3), method="pnorm")
+
+
+def test_frontend_honors_max_iter_ls():
+    # explicit budget is honored verbatim (round-3 review finding): with a
+    # single backtracking trial the stiff direction cannot be damped enough
+    # and GD stalls at MAX_ITER; the default budget converges
+    d = jnp.asarray([1.0, 40.0])
+
+    def quad(x):
+        return 0.5 * jnp.sum(d * x * x)
+
+    r1 = ost.minimize(quad, jnp.array([1.0, 1.0]), method="gd",
+                      max_iter=500, max_iter_ls=1)
+    r2 = ost.minimize(quad, jnp.array([1.0, 1.0]), method="gd", max_iter=500)
+    assert int(r1.status) != 1
+    assert int(r2.status) == 1
+
+
+def test_frontend_tracing_toggle_not_stale(monkeypatch, caplog):
+    """Round-3 review finding: the lockstep jit cache must miss when
+    OST_LOG toggles (the tracing callbacks are baked at trace time)."""
+    import logging
+
+    from optimization_solvers_tpu import linesearch as ls, solvers
+    from optimization_solvers_tpu.core.oracle import make_oracle
+    import jax
+
+    oracle = make_oracle(lambda x: jnp.sum(x * x))
+    x0 = jnp.ones((4, 3))
+    kw = dict(fused=False, max_iter=20)
+    monkeypatch.delenv("OST_LOG", raising=False)
+    logging.getLogger("optimization_solvers_tpu").setLevel(logging.INFO)
+    solvers.batch_minimize(solvers.GradientDescent(grad_tol=1e-6),
+                           ls.BackTracking(), oracle, x0, **kw)
+    monkeypatch.setenv("OST_LOG", "debug")
+    with caplog.at_level(logging.DEBUG, logger="optimization_solvers_tpu"):
+        solvers.batch_minimize(solvers.GradientDescent(grad_tol=1e-6),
+                               ls.BackTracking(), oracle, x0, **kw)
+        jax.effects_barrier()
+    assert [r for r in caplog.records if "solver.GradientDescent" in r.name
+            or "linesearch" in r.name], "tracing stayed stale after toggle"
