@@ -320,17 +320,31 @@ def test_fused_matches_unfused_random_problems():
         hi = jnp.asarray(np.where(rng.rand(N) < 0.3, np.inf,
                                   np.sort(rng.uniform(0.3, 2, N))))
         x0 = jnp.asarray(rng.uniform(-2, 2, (B, N)))
-        method = solvers.SpectralProjectedGradient(grad_tol=1e-6)
-        search = ls.GLLQuadratic()
-        r_ref = solvers.batch_minimize(
-            method, search, make_oracle(fq, data=(Q,)), x0,
-            bounds=(lo, hi), max_iter=3000, max_iter_ls=40, fused=False)
-        r_fus = fused_minimize(
-            method, search, fq, x0, lo, hi, consts=(Q,),
-            max_iter=3000, max_iter_ls=40, tile=16, interpret=True)
-        assert bool(jnp.all(r_fus.status == 1)), seed
-        np.testing.assert_allclose(r_fus.x, r_ref.x, atol=1e-5)
-        np.testing.assert_allclose(r_fus.f, r_ref.f, atol=1e-8)
+        combos = [
+            (solvers.SpectralProjectedGradient(grad_tol=1e-6),
+             ls.GLLQuadratic(), (lo, hi)),
+            # round-3 additions: reference-rule GLL on an unbounded method
+            # and the fused MINPACK dcsrch
+            (solvers.GradientDescent(grad_tol=1e-5), ls.GLLQuadratic(),
+             None),
+            (solvers.BFGSB(tol=1e-6), ls.StrongWolfe(bounded=True),
+             (lo, hi)),
+        ]
+        for method, search, bnds in combos:
+            r_ref = solvers.batch_minimize(
+                method, search, make_oracle(fq, data=(Q,)), x0,
+                bounds=bnds, max_iter=3000, max_iter_ls=40, fused=False)
+            r_fus = fused_minimize(
+                method, search, fq, x0,
+                bnds[0] if bnds else None, bnds[1] if bnds else None,
+                consts=(Q,), max_iter=3000, max_iter_ls=40, tile=16,
+                interpret=True)
+            tag = (seed, type(method).__name__, type(search).__name__)
+            assert bool(jnp.all(r_fus.status == 1)), tag
+            np.testing.assert_allclose(r_fus.x, r_ref.x, atol=1e-5,
+                                       err_msg=str(tag))
+            np.testing.assert_allclose(r_fus.f, r_ref.f, atol=1e-8,
+                                       err_msg=str(tag))
 
 
 def test_fused_fallback_under_outer_jit(monkeypatch):
