@@ -43,7 +43,25 @@ PGTOL = 1e-3            # accuracy target for BOTH device and cpu baseline
 FACTR = 100.0           # ~1.2e-5 relative-decrease stall guard in f32
 MAX_ITER = 600
 DTYPE = jnp.float32
-REPEATS = 3
+# --repeats N (or BENCH_REPEATS) — measured run-to-run spread on the shared
+# TPU box is ~±10% (and ±30% for the CPU twin, BENCH_NOTES round 3), so
+# records carry median + min/max/MAD over interleaved repeats rather than a
+# single draw (VERDICT round-3 item 6)
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+if "--repeats" in sys.argv:
+    REPEATS = int(sys.argv[sys.argv.index("--repeats") + 1])
+
+
+def _spread(values) -> dict:
+    """median / min / max / MAD of a list of per-repeat measurements."""
+    med = statistics.median(values)
+    return {
+        "median": round(med, 2),
+        "min": round(min(values), 2),
+        "max": round(max(values), 2),
+        "mad": round(statistics.median([abs(v - med) for v in values]), 2),
+        "repeats": len(values),
+    }
 
 
 def _starts(batch: int) -> np.ndarray:
@@ -51,7 +69,10 @@ def _starts(batch: int) -> np.ndarray:
     return rng.uniform(-2.0, 2.0, size=(batch, N))
 
 
-def bench_fused() -> tuple[float, float, float]:
+def bench_fused(cpu_samples_per_repeat: int = 8):
+    """Headline fused kernel, REPEATS timed runs INTERLEAVED with the CPU
+    single-core twin (so box-load drift hits both columns the same way).
+    Returns (device solves/s list, cpu solves/s list, median f, conv)."""
     f = problems.rosenbrock()
     lower = jnp.full((N,), -5.0, DTYPE)
     upper = jnp.full((N,), 5.0, DTYPE)
@@ -69,7 +90,7 @@ def bench_fused() -> tuple[float, float, float]:
     # dispatches of identical (executable, args) pairs, which would make
     # repeat timings meaningless
     rng = np.random.RandomState(7)
-    times = []
+    sps, cpu_sps = [], []
     for _ in range(REPEATS):
         x = jnp.asarray(rng.uniform(-2.0, 2.0, size=(BATCH, N)), DTYPE)
         jax.block_until_ready(x)
@@ -78,9 +99,9 @@ def bench_fused() -> tuple[float, float, float]:
         # a device->host readback of the result is the only reliable fence
         # through the serving tunnel (block_until_ready returns early there)
         _ = np.asarray(r.f).sum()
-        times.append(time.perf_counter() - t0)
-    dt = statistics.median(times)
-    return BATCH / dt, float(jnp.median(r.f)), float((r.status == 1).mean())
+        sps.append(BATCH / (time.perf_counter() - t0))
+        cpu_sps.append(bench_cpu_baseline(cpu_samples_per_repeat))
+    return sps, cpu_sps, float(jnp.median(r.f)), float((r.status == 1).mean())
 
 
 def bench_unfused() -> tuple[float, float, float]:
@@ -169,8 +190,10 @@ def _fence(r):
 
 
 def _timed(solve, inputs):
-    """Median wall time of ``solve`` over distinct pre-staged inputs
-    (distinct: the tunnel memoizes repeat dispatches of identical args)."""
+    """Per-repeat wall times of ``solve`` over distinct pre-staged inputs
+    (distinct: the tunnel memoizes repeat dispatches of identical args).
+    Returns ``(times, last_result)``; callers record the median plus the
+    spread (VERDICT round-3 item 6)."""
     times = []
     r = None
     for x in inputs:
@@ -179,7 +202,7 @@ def _timed(solve, inputs):
         r = solve(x)
         _fence(r)
         times.append(time.perf_counter() - t0)
-    return statistics.median(times), r
+    return times, r
 
 
 def bench_config1():
@@ -284,9 +307,9 @@ def bench_config1_tpu():
     curve = {}
     for B in (1, 8, 64, 512, 4096):
         xb = jnp.asarray(rng.uniform(-5, 5, (B, n)), DTYPE)
-        dt, r = _timed(solve_b, [
+        ts, r = _timed(solve_b, [
             jnp.asarray(rng.uniform(-5, 5, (B, n)), DTYPE), xb, xb + 0.01])
-        curve[B] = round(B / dt, 2)
+        curve[B] = round(B / statistics.median(ts), 2)
 
     # (c) the CPU-home number, measured the same way in a subprocess (the
     # axon sitecustomize pins this process's backend, so re-homing needs a
@@ -340,7 +363,8 @@ def bench_config2():
     inputs = [jnp.asarray(rng.uniform(-2, 2, (B, n)), DTYPE)
               for _ in range(REPEATS + 1)]
     _fence(solve(inputs[0]))  # compile
-    dt, r = _timed(solve, inputs[1:])
+    ts, r = _timed(solve, inputs[1:])
+    dt = statistics.median(ts)
 
     f_vals = np.asarray(r.f)
     # stationary = the global minimum or Rosenbrock's local min near x0=-1
@@ -350,6 +374,7 @@ def bench_config2():
     return {
         "metric": "config2_bfgs_morethuente_rosenbrock100_batch1k",
         "value": round(sps, 2), "unit": "solves/s",
+        "solves_per_sec_spread": _spread([B / t for t in ts]),
         "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
         "baseline_cpu_solves_per_sec": round(cpu, 2),
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
@@ -451,12 +476,14 @@ def bench_config3():
     inputs = [jnp.asarray(rng.uniform(-2, 2, (B, n)), DTYPE)
               for _ in range(REPEATS + 1)]
     _fence(solve(inputs[0]))
-    dt, r = _timed(solve, inputs[1:])
+    ts, r = _timed(solve, inputs[1:])
+    dt = statistics.median(ts)
     sps = B / dt
     cpu = _np_spg_baseline(np.asarray(d, np.float64))
     return {
         "metric": "config3_spg_box_quadratic_batch10k",
         "value": round(sps, 2), "unit": "solves/s",
+        "solves_per_sec_spread": _spread([B / t for t in ts]),
         "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
         "baseline_cpu_solves_per_sec": round(cpu, 2),
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
@@ -491,13 +518,15 @@ def bench_config4():
     inputs = [jnp.asarray(rng.uniform(-0.5, 0.5, (B, n)), DTYPE)
               for _ in range(REPEATS + 1)]
     _fence(solve(inputs[0]))
-    dt, r = _timed(solve, inputs[1:])
+    ts, r = _timed(solve, inputs[1:])
+    dt = statistics.median(ts)
     cpu = _scipy_lse_baseline(np.asarray(A, np.float64),
                               np.asarray(b, np.float64))
     sps = B / dt
     return {
         "metric": "config4_lbfgsb_lse10k_batch64",
         "value": round(sps, 2), "unit": "solves/s",
+        "solves_per_sec_spread": _spread([B / t for t in ts]),
         "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
         "baseline_cpu_solves_per_sec": round(cpu, 4),
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
@@ -573,7 +602,8 @@ def bench_config5():
     inputs = [jnp.asarray(rng.uniform(-2, 2, (B, n)), DTYPE)
               for _ in range(REPEATS + 1)]
     _fence(solve(inputs[0]))
-    dt, r = _timed(solve, inputs[1:])
+    ts, r = _timed(solve, inputs[1:])
+    dt = statistics.median(ts)
 
     # single-core numpy Newton twin (one instance, same iteration count)
     H = np.diag(d_np) + 0.2 / n * np.ones((n, n))
@@ -588,6 +618,7 @@ def bench_config5():
     return {
         "metric": "config5_projected_newton_n1024_batch64",
         "value": round(sps, 2), "unit": "solves/s",
+        "solves_per_sec_spread": _spread([B / t for t in ts]),
         "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
         "baseline_cpu_solves_per_sec": round(cpu, 2),
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
@@ -624,26 +655,34 @@ def main():
         print(json.dumps(rec))
         return
     use_unfused = "--unfused" in sys.argv
-    bench = bench_unfused if use_unfused else bench_fused
     last = None
     for _ in range(3):  # the remote tunnel throws transient UNAVAILABLEs
         try:
-            solves_per_sec, median_f, conv_frac = bench()
+            if use_unfused:
+                sps_one, median_f, conv_frac = bench_unfused()
+                sps, cpu_sps = [sps_one], [bench_cpu_baseline()]
+            else:
+                sps, cpu_sps, median_f, conv_frac = bench_fused()
             break
         except Exception as exc:
             last = exc
     else:
         raise last
-    cpu = bench_cpu_baseline()
-    vs = solves_per_sec / cpu if cpu == cpu else None
+    dev = _spread(sps)
+    cpu = _spread(cpu_sps)
+    vs = dev["median"] / cpu["median"] if cpu["median"] == cpu["median"] else None
     print(json.dumps({
         "metric": "solves_per_sec_rosenbrock100_lbfgsb_batch10k",
-        "value": round(solves_per_sec, 2),
+        "value": dev["median"],
         "unit": "solves/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "median_final_f": median_f,
         "converged_fraction": conv_frac,
-        "baseline_cpu_solves_per_sec": round(cpu, 2),
+        "baseline_cpu_solves_per_sec": cpu["median"],
+        # run-to-run spread over interleaved device/CPU repeats: deltas
+        # inside the MAD band are noise, not progress (BENCH_NOTES round 3)
+        "solves_per_sec_spread": dev,
+        "baseline_cpu_spread": cpu,
         "path": "unfused" if use_unfused else "fused_pallas",
         "device": jax.devices()[0].device_kind,
     }))

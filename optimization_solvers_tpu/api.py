@@ -52,6 +52,9 @@ _STATUS_ERRORS = {
     int(Status.MAX_ITER_REACHED): MaxIterReached,
     int(Status.OUT_OF_DOMAIN): OutOfDomain,
     int(Status.ABNORMAL): AbnormalTermination,
+    # Status.STALLED is deliberately absent: the reference's s/y-stall exit
+    # returns Ok(()) (bfgs_b.rs:92-104), so the reference-parity API treats
+    # it as success; the honest label stays on SolveResult.status.
 }
 
 
@@ -404,7 +407,12 @@ class OptimizationSolver:
                     method, search,
                     make_oracle(objective, with_hessian=with_hessian),
                     x0_arr, max_iter=self.max_iterations, max_iter_ls=100)
-            ok = int(result.status) == int(Status.CONVERGED)
+            # STALLED counts as success here: the reference's s/y-stall
+            # exit returns Ok(()) (bfgs.rs:64-76), and this layer mirrors
+            # the reference surface (SolveResult.status keeps the honest
+            # label for callers who want it)
+            ok = int(result.status) in (int(Status.CONVERGED),
+                                        int(Status.STALLED))
             import numpy as _np
 
             return OptimizationResult(

@@ -28,6 +28,13 @@ class Status(enum.IntEnum):
     OUT_OF_DOMAIN = 3        # reference: SolverError::OutOfDomain
     ERROR_INPUT_PARAMS = 4   # reference: SolverError::ErrorInputParams
     ABNORMAL = 5             # reference: SolverError::AbnormalTermination
+    # Honesty-beyond-the-reference code: the quasi-Newton family's
+    # s/y-too-close early exit (``bfgs.rs:64-76`` / ``bfgs_b.rs:92-104``)
+    # fired at a point whose projected-gradient norm still exceeds the
+    # requested tolerance — the reference reports this as plain success
+    # (``Ok(())``), burying a non-KKT stop.  The reference-parity API layer
+    # (api.py) still treats it as success; SolveResult makes it visible.
+    STALLED = 6
 
 
 class FuncEval(NamedTuple):
@@ -80,6 +87,13 @@ class SolveResult(NamedTuple):
     @property
     def converged(self) -> jax.Array:
         return self.status == Status.CONVERGED
+
+    @property
+    def stalled(self) -> jax.Array:
+        """Lanes whose quasi-Newton s/y-stall exit fired at a non-KKT point
+        (``pg_norm`` above the requested tolerance) — the reference's
+        silent non-KKT "success" (``bfgs_b.rs:92-104``), made visible."""
+        return self.status == Status.STALLED
 
     @property
     def g_norm(self) -> jax.Array:

@@ -155,8 +155,8 @@ def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile):
 
 
 def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
-             tol: float = 1e-6, max_iter: int = 1000, max_iter_ls=None,
-             search=None, **options):
+             tol: float | None = None, max_iter: int = 1000,
+             max_iter_ls=None, search=None, **options):
     """Minimize scalar ``f`` from ``x0`` with the named method.
 
     ``f``: plain scalar objective (``f(x)`` or ``f(x, *data)``) or an
@@ -168,6 +168,16 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     when given.  Extra keyword ``options`` are forwarded to the method
     config when its dataclass has the field (e.g. ``m=10`` for
     lbfgs/lbfgsb, ``precond_bb=True`` for spn).
+
+    ``tol`` (the gradient/stationarity certification threshold) defaults
+    DTYPE-AWARE, like ``factr`` below: 1e-6 for f64 ``x0`` (the reference
+    tolerance, ``examples/quadratic.rs:43``) but 1e-4 for f32, where
+    gradients carry ~1e-7 relative noise so a 1e-6 certificate is not
+    generally reachable — solves would burn their whole budget and report
+    MAX_ITER_REACHED at an iterate that already meets the reference's
+    VALUE tolerance (measured: docs/tpu_accuracy.md "Discussion", whose
+    three MAX_ITER anchor rows all CONVERGE at 1e-4).  An explicit ``tol``
+    always wins.
 
     The batched ``method="lbfgsb"`` route uses the fused whole-solve TPU
     kernel when the objective is a raw callable and the VMEM footprint
@@ -182,6 +192,8 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     from optimization_solvers_tpu import solvers
 
     x0 = jnp.asarray(x0)
+    if tol is None:
+        tol = 1e-6 if x0.dtype == jnp.float64 else 1e-4
     batched = x0.ndim == 2
     name = method.lower().replace("-", "_")
 

@@ -1907,6 +1907,13 @@ def fused_minimize(
         it_fin, st_fin = it_fin[:B], st_fin[:B]
     f_host = (lambda x: f(x, *consts)) if consts else f
     _, g_fin = jax.vmap(jax.value_and_grad(f_host))(x_fin)
-    return SolveResult(x_fin, f_fin, g_fin, it_fin, st_fin,
-                       pg_norm=batched_pg_inf_norm(x_fin, g_fin,
-                                                   lower, upper))
+    pg = batched_pg_inf_norm(x_fin, g_fin, lower, upper)
+    # STALLED re-label (quasi-Newton s/y-stall at a non-KKT exit) happens
+    # HERE rather than in-kernel: it is a pure function of the exit point,
+    # which the host side already has — same helper as the unfused driver
+    from optimization_solvers_tpu.solvers.driver import apply_stall_status
+
+    bounds = None if lower is None else (lower, upper)
+    st_fin = apply_stall_status(st_fin, method, x_fin, f_fin, g_fin, pg,
+                                bounds)
+    return SolveResult(x_fin, f_fin, g_fin, it_fin, st_fin, pg_norm=pg)

@@ -135,7 +135,7 @@ def make_step(method, line_search, oracle, *, bounds: Bounds = None,
 
 
 def _result(final: SolverCarry, max_iter: int,
-            bounds: Bounds = None) -> SolveResult:
+            bounds: Bounds = None, method=None) -> SolveResult:
     status = jnp.where(
         final.k >= max_iter,
         jnp.int32(Status.MAX_ITER_REACHED),
@@ -145,8 +145,25 @@ def _result(final: SolverCarry, max_iter: int,
             jnp.int32(Status.CONVERGED),
         ),
     )
+    pg = _pg_norm(final.x, final.ev.g, bounds)
+    status = apply_stall_status(status, method, final.x, final.ev.f,
+                                final.ev.g, pg, bounds)
     return SolveResult(final.x, final.ev.f, final.ev.g, final.k, status,
-                       pg_norm=_pg_norm(final.x, final.ev.g, bounds))
+                       pg_norm=pg)
+
+
+def apply_stall_status(status, method, x, f, g, pg_norm, bounds):
+    """Re-label CONVERGED lanes as :data:`Status.STALLED` where the method's
+    ``stall_status`` hook says the exit was a stall at a non-KKT point
+    (quasi-Newton s/y-too-close, ``bfgs_b.rs:92-104``).  Methods without the
+    hook (every non-QN family) are untouched; precedence: only CONVERGED is
+    ever re-labeled (MAX_ITER / OUT_OF_DOMAIN / ABNORMAL win)."""
+    hook = getattr(method, "stall_status", None)
+    if hook is None:
+        return status
+    stall = hook(x, f, g, pg_norm, bounds)
+    return jnp.where((status == Status.CONVERGED) & stall,
+                     jnp.int32(Status.STALLED), status)
 
 
 def _pg_norm(x, g, bounds: Bounds):
@@ -192,7 +209,7 @@ def minimize(
         return (c.k < max_iter) & keep_going_fn(c)
 
     final = lax.while_loop(cond, step_fn, init_fn(x0))
-    return _result(final, max_iter, bounds)
+    return _result(final, max_iter, bounds, method)
 
 
 def minimize_recorded(
@@ -230,7 +247,7 @@ def minimize_recorded(
     final, (xs, fs) = lax.scan(scan_body, c0, None, length=max_iter)
     xs = jnp.concatenate([c0.x[None], xs], axis=0)
     fs = jnp.concatenate([c0.ev.f[None], fs], axis=0)
-    return _result(final, max_iter, bounds), xs, fs
+    return _result(final, max_iter, bounds, method), xs, fs
 
 
 # objective -> {(method type, search type)} combos whose fused kernel failed;
@@ -409,7 +426,7 @@ def _batch_minimize_lockstep(method, line_search, oracle, x0, bounds,
     )
     final = lockstep_loop(init_fn, keep_going_fn, step_fn, x0, max_iter,
                           unroll=unroll)
-    return jax.vmap(lambda c: _result(c, max_iter, bounds))(final)
+    return jax.vmap(lambda c: _result(c, max_iter, bounds, method))(final)
 
 
 def batch_minimize(

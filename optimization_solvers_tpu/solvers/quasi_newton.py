@@ -130,6 +130,21 @@ class _QuasiNewtonCommon:
         too_close = (mstate.s_norm < self.tol) | (mstate.y_norm < self.tol)
         return too_close | g_small
 
+    def stall_status(self, x, f, g, pg_norm, bounds):
+        """Per-lane "the exit was the s/y-stall at a non-KKT point" mask
+        (VERDICT round-3 item 5).  The reference's early exit
+        (``bfgs.rs:64-76`` / ``bfgs_b.rs:92-104``) reports success when the
+        iterate stops moving even if the gradient test never passed; the
+        driver re-labels such lanes :data:`Status.STALLED` when their
+        projected-gradient norm still exceeds ``tol``.  Derivable from the
+        exit point alone: a CONVERGED status with ``||g||_2 >= tol`` means
+        the gradient test did NOT fire, so the stall exit did.  Lanes that
+        stall at a certified stationary point (``pg_norm <= tol`` — e.g.
+        active bounds where the raw 2-norm test can never pass) keep
+        CONVERGED."""
+        g_small = jnp.sqrt(jnp.sum(g * g, axis=-1)) < self.tol
+        return (~g_small) & (pg_norm > self.tol)
+
     def post_step(self, mstate: _QNState, x, ev, d, t, x_new, ev_new, bounds):
         s = x_new - x
         y = ev_new.g - ev.g

@@ -251,4 +251,7 @@ def summarize(result: SolveResult) -> dict:
         stats["pg_norm_p50"] = float(jnp.median(pg))
         stats["pg_norm_max"] = float(jnp.max(pg))
         stats["abnormal"] = int(jnp.sum(status == Status.ABNORMAL))
+        # quasi-Newton s/y-stall exits at non-KKT points (bfgs_b.rs:92-104),
+        # re-labeled from CONVERGED by the driver (Status.STALLED)
+        stats["stalled"] = int(jnp.sum(status == Status.STALLED))
     return stats

@@ -117,3 +117,32 @@ def test_frontend_tracing_toggle_not_stale(monkeypatch, caplog):
         jax.effects_barrier()
     assert [r for r in caplog.records if "solver.GradientDescent" in r.name
             or "linesearch" in r.name], "tracing stayed stale after toggle"
+
+
+def test_frontend_dtype_aware_default_tol():
+    """VERDICT round-3 item 4: the default stationarity tolerance is
+    dtype-aware (1e-6 for f64, 1e-4 for f32 — the factr treatment at
+    frontend.py).  The exp-bowl anchor (docs/tpu_accuracy.md) is the
+    motivating geometry: its minimum VALUE is 1, so f32 value-based
+    acceptance freezes pg at ~1e-5 and a 1e-6 certificate burns the whole
+    budget; the f32 default converges, an explicit tol always wins."""
+
+    def expbowl(x):
+        return x[0] ** 2 + x[1] ** 2 + jnp.exp(x[0] ** 2 + x[1] ** 2)
+
+    x0_32 = jnp.asarray([0.9, -0.8], jnp.float32)
+    # f32 + default tol: certifiable -> CONVERGED inside the budget
+    res = ost.minimize(expbowl, x0_32, method="spn", bounds=(-1.0, 1.0),
+                       max_iter=1500)
+    assert int(res.status) == 1, int(res.status)
+    assert abs(float(res.f) - 1.0) < 1e-6
+    # the f64-strength tolerance, explicitly requested, is honored (and is
+    # exactly the MAX_ITER freeze the dtype-aware default exists to avoid)
+    res_tight = ost.minimize(expbowl, x0_32, method="spn",
+                             bounds=(-1.0, 1.0), max_iter=1500, tol=1e-6)
+    assert int(res_tight.status) == 2, int(res_tight.status)
+    # f64 keeps the reference default: certified to 1e-6 at exit
+    res64 = ost.minimize(expbowl, jnp.asarray([0.9, -0.8], jnp.float64),
+                         method="spn", bounds=(-1.0, 1.0), max_iter=1500)
+    assert int(res64.status) == 1
+    assert float(res64.pg_norm) <= 1e-6

@@ -73,7 +73,13 @@ def test_fused_matches_unfused(method, search, bounded):
         consts=(DVEC,), max_iter=3000, max_iter_ls=40, tile=16,
         interpret=True,
     )
-    assert bool(jnp.all(r_fus.status == 1))
+    # QN lanes may legitimately exit STALLED (6): the s/y-stall exit at a
+    # point whose pg_norm misses the (tight) tol — the round-4 honest
+    # re-label of the reference's silent success (bfgs_b.rs:92-104).
+    # Parity is: same statuses on both paths, all success-class.
+    np.testing.assert_array_equal(np.asarray(r_fus.status),
+                                  np.asarray(r_ref.status))
+    assert bool(jnp.all((r_fus.status == 1) | (r_fus.status == 6)))
     np.testing.assert_allclose(r_fus.x, r_ref.x, atol=1e-5)
     np.testing.assert_allclose(r_fus.f, r_ref.f, atol=1e-9)
 
@@ -230,7 +236,12 @@ def test_qn_robustness_knobs_fused():
         tol=1e-6, update="bfgs", scale_b0=True, restart_on_degeneracy=True)
     r = fused_minimize(m, ls.BackTracking(), _rosen, xr,
                        max_iter=2000, max_iter_ls=40, tile=16, interpret=True)
-    assert bool(jnp.all(r.status == 1))
+    # success-class exits only; lanes whose restart-stall exit fired a hair
+    # above tol are now labeled STALLED (honest re-label, round 4) and must
+    # carry pg_norm > tol — the label is truthful, not cosmetic
+    st, pg = np.asarray(r.status), np.asarray(r.pg_norm)
+    assert bool(jnp.all((r.status == 1) | (r.status == 6)))
+    assert (pg[st == 6] > 1e-6).all()
     assert float(jnp.median(r.f)) < 1e-10
 
 
@@ -243,9 +254,12 @@ def test_qn_robustness_knobs_unfused():
     r = solvers.batch_minimize(
         m, ls.BackTracking(), mk(_rosen), xr,
         max_iter=2000, max_iter_ls=40, fused=False)
-    assert bool(jnp.all(r.status == 1))
-    # restart mode only reports CONVERGED on the gradient test, never on
-    # the s/y-too-close early exit
+    # restart mode reaches the minima (median f ~ 1e-14) but certifies the
+    # strict 1e-6 2-norm on only some lanes; the rest exit via the stall
+    # counter and are now honestly labeled STALLED with pg_norm > tol
+    st, pg = np.asarray(r.status), np.asarray(r.pg_norm)
+    assert bool(jnp.all((r.status == 1) | (r.status == 6)))
+    assert (pg[st == 6] > 1e-6).all()
     assert float(jnp.median(r.f)) < 1e-10
 
 
@@ -340,7 +354,11 @@ def test_fused_matches_unfused_random_problems():
                 consts=(Q,), max_iter=3000, max_iter_ls=40, tile=16,
                 interpret=True)
             tag = (seed, type(method).__name__, type(search).__name__)
-            assert bool(jnp.all(r_fus.status == 1)), tag
+            np.testing.assert_array_equal(np.asarray(r_fus.status),
+                                          np.asarray(r_ref.status),
+                                          err_msg=str(tag))
+            assert bool(jnp.all((r_fus.status == 1)
+                                | (r_fus.status == 6))), tag
             np.testing.assert_allclose(r_fus.x, r_ref.x, atol=1e-5,
                                        err_msg=str(tag))
             np.testing.assert_allclose(r_fus.f, r_ref.f, atol=1e-8,
@@ -511,6 +529,8 @@ def test_dcsrch_fused_matches_unfused():
     r_fb = fused_minimize(
         mb, swb, quadc, x0, lower=lo, upper=hi, consts=(d,),
         max_iter=300, max_iter_ls=30, tile=32, interpret=True)
-    assert (np.asarray(r_fb.status) == 1).all()
+    np.testing.assert_array_equal(np.asarray(r_fb.status),
+                                  np.asarray(r_ub.status))
+    assert np.isin(np.asarray(r_fb.status), (1, 6)).all()
     np.testing.assert_allclose(
         np.asarray(r_ub.x), np.asarray(r_fb.x), atol=1e-10)
