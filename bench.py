@@ -472,11 +472,34 @@ def bench_config3():
             method, ls.GLLQuadratic(), oracle, x, bounds=(lower, upper),
             max_iter=1000, max_iter_ls=30)
 
+    # mitigation twin (VERDICT round-3 item 3, "measured both ways"): the
+    # opt-in alternating-BB scalar that breaks the f32 lambda cycling
+    # behind the ~1.5% tail (default semantics untouched)
+    m_abb = solvers.SpectralProjectedGradient(grad_tol=1e-4,
+                                              bb_variant="alternate")
+
+    def solve_abb(x):
+        return solvers.batch_minimize(
+            m_abb, ls.GLLQuadratic(), oracle, x, bounds=(lower, upper),
+            max_iter=1000, max_iter_ls=30)
+
     rng = np.random.RandomState(3)
     inputs = [jnp.asarray(rng.uniform(-2, 2, (B, n)), DTYPE)
               for _ in range(REPEATS + 1)]
     _fence(solve(inputs[0]))
-    ts, r = _timed(solve, inputs[1:])
+    _fence(solve_abb(inputs[0]))
+    # interleave the two variants so box-load drift hits both equally
+    ts, ts_abb = [], []
+    r = r_abb = None
+    for x in inputs[1:]:
+        t0 = time.perf_counter()
+        r = solve(x)
+        _fence(r)
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        r_abb = solve_abb(x)
+        _fence(r_abb)
+        ts_abb.append(time.perf_counter() - t0)
     dt = statistics.median(ts)
     sps = B / dt
     cpu = _np_spg_baseline(np.asarray(d, np.float64))
@@ -489,6 +512,14 @@ def bench_config3():
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
         "median_final_f": float(np.median(np.asarray(r.f))),
         "median_iterations": float(np.median(np.asarray(r.iterations))),
+        "alternate_bb": {
+            "solves_per_sec": round(B / statistics.median(ts_abb), 2),
+            "solves_per_sec_spread": _spread([B / t for t in ts_abb]),
+            "converged_fraction": float(
+                (np.asarray(r_abb.status) == 1).mean()),
+            "median_iterations": float(
+                np.median(np.asarray(r_abb.iterations))),
+        },
         "path": "general_api_fused_auto",
     }
 

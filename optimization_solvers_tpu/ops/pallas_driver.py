@@ -236,32 +236,43 @@ class _PGDSpec(_GDSpec):
 
 class _SPGSpec(_PGDSpec):
     """Spectral projected gradient: BB-scaled projected gradient step
-    (spg.rs:39-46 seeding, spg.rs:134-143 safeguarded update)."""
+    (spg.rs:39-46 seeding, spg.rs:134-143 safeguarded update).  The opt-in
+    ``bb_variant="alternate"`` alternates BB1/BB2 per completed step (the
+    cycling-breaker for the config-3 f32 tail — see
+    solvers.SpectralProjectedGradient docs); the per-lane step parity rides
+    a float scratch row (Mosaic rule: no int/bool vector carries)."""
 
     def __init__(self, method):
         self.tol = float(method.grad_tol)
         self.lam_min = float(method.lambda_min)
         self.lam_max = float(method.lambda_max)
+        self.alternate = getattr(method, "bb_variant", "bb1") == "alternate"
 
     def scratch(self, n, T, dtype):
-        return [((1, T), dtype)]  # lam
+        return [((1, T), dtype),   # lam
+                ((1, T), dtype)]   # completed-step parity (0.0 / 1.0)
 
     def init(self, st, X, G, Fv, ctx):
-        (lam,) = st
+        lam, par = st
         d0 = ctx.clip(X[...] - G[...]) - X[...]
         l0 = 1.0 / ctx.max(jnp.abs(d0))
         lam[...] = jnp.clip(l0, self.lam_min, self.lam_max)
+        par[...] = jnp.zeros((1, ctx.T), ctx.dtype)
 
     def direction(self, st, X, G, Fv, active, ctx):
-        (lam,) = st
+        lam = st[0]
         return ctx.clip(X - lam[...] * G) - X
 
     def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
-        (lam,) = st
+        lam, par = st
         s = X - X_old
         y = G - G_old
         sy = ctx.sum(s * y)
-        lam_bb = jnp.clip(ctx.sum(s * s) / sy, self.lam_min, self.lam_max)
+        raw = ctx.sum(s * s) / sy
+        if self.alternate:
+            raw = jnp.where(par[...] > 0.5, sy / ctx.sum(y * y), raw)
+            par[...] = jnp.where(active, 1.0 - par[...], par[...])
+        lam_bb = jnp.clip(raw, self.lam_min, self.lam_max)
         lam_new = jnp.where(sy <= 0.0,
                             jnp.full((1, ctx.T), self.lam_max, ctx.dtype),
                             lam_bb)

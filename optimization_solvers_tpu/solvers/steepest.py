@@ -96,6 +96,7 @@ class ProjectedGradientDescent(BoundedMethod):
 
 class _SPGState(NamedTuple):
     lam: jax.Array
+    k: jax.Array   # completed-step parity (bb_variant="alternate" only)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,18 +108,38 @@ class SpectralProjectedGradient(BoundedMethod):
     ``lambda_0 = clamp(1 / ||P(x0 - g0) - x0||_inf)`` per eq. 8 of the paper
     (``spg.rs:39-46``); after each step ``lambda = clamp(s.s / s.y)``, reset
     to ``lambda_max`` when ``s.y <= 0`` (``spg.rs:134-143``).
+
+    ``bb_variant`` (opt-in, beyond the reference): the reference's BB1
+    scalar (``s.s / s.y``) can fall into a short lambda CYCLE on
+    ill-conditioned box quadratics whose geometric contraction is too slow
+    for a finite budget — measured on the cond-1e3 config-3 workload, the
+    f32 tail lanes (~1.5%) still burn 1000+ iterations on a lambda 4-cycle
+    while f is decreasing ~1%/iteration (all of them converge by ~1819
+    iterations; f64 shows the same heavy tail at 445, so the cycling is
+    BB-geometry, not an f32 acceptance freeze — BENCH_NOTES round 4).
+    ``bb_variant="alternate"`` alternates BB1 with BB2 (``s.y / y.y``)
+    per step — the standard cycling-breaker (Dai-Fletcher ABB family) —
+    and converges every measured tail lane in median 274 iterations.
+    Default ``"bb1"`` preserves exact reference semantics.
     """
 
     grad_tol: float = 1e-8
     lambda_min: float = 1e-3
     lambda_max: float = 1e3
+    bb_variant: str = "bb1"   # "bb1" (reference, spg.rs:134-143) | "alternate"
+
+    def __post_init__(self):
+        if self.bb_variant not in ("bb1", "alternate"):
+            raise ValueError(
+                f"bb_variant must be 'bb1' or 'alternate', "
+                f"got {self.bb_variant!r}")
 
     def init(self, x, ev, bounds: Bounds):
         d0 = box_projection(x - ev.g, *bounds) - x
         lam = 1.0 / infinity_norm(d0)
         # Rust `.min(max).max(min)` order (spg.rs:44-46)
         lam = jnp.maximum(jnp.minimum(lam, self.lambda_max), self.lambda_min)
-        return _SPGState(lam.astype(x.dtype))
+        return _SPGState(lam.astype(x.dtype), jnp.int32(0))
 
     def converged(self, mstate, x, ev, bounds: Bounds):
         return self.projected_gradient_norm(x, ev, bounds) < self.grad_tol
@@ -130,6 +151,11 @@ class SpectralProjectedGradient(BoundedMethod):
         s = x_new - x
         y = ev_new.g - ev.g
         sy = vdot(s, y)
-        lam_bb = jnp.maximum(jnp.minimum(vdot(s, s) / sy, self.lambda_max), self.lambda_min)
+        raw = vdot(s, s) / sy
+        if self.bb_variant == "alternate":
+            # odd steps use BB2 = s.y / y.y (same clamp + non-positive-
+            # curvature reset); even steps keep the reference BB1
+            raw = jnp.where(mstate.k % 2 == 1, sy / vdot(y, y), raw)
+        lam_bb = jnp.maximum(jnp.minimum(raw, self.lambda_max), self.lambda_min)
         lam = jnp.where(sy <= 0.0, jnp.asarray(self.lambda_max, x.dtype), lam_bb)
-        return _SPGState(lam)
+        return _SPGState(lam, mstate.k + 1)

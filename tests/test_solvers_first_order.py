@@ -232,3 +232,78 @@ def test_jit_wrapped_minimize():
     )
     res = solve(jnp.array([10.0, -10.0]))
     assert res.status == Status.CONVERGED
+
+
+def test_spg_alternate_bb_closes_f32_cycling_tail():
+    """Config-3 tail regression (VERDICT round-3 item 3): on the cond-1e3
+    box quadratic in f32, the reference BB1 scalar falls into a lambda
+    4-cycle on ~1.5% of lanes and misses the 1000-iteration budget (f still
+    decreasing ~1%/iter at exit — BB geometry, not an acceptance freeze;
+    the same lanes all converge by ~1819 iterations, and f64 shows the same
+    heavy tail).  The opt-in bb_variant="alternate" (BB1/BB2 alternation)
+    converges the measured tail lanes in median 274 iterations.  Lane
+    indices are from the 2048-start seed-3 sweep."""
+    n = 64
+    d = jnp.asarray(np.logspace(0, 3, n), jnp.float32)
+    oracle = make_oracle(lambda x, diag: 0.5 * jnp.sum(diag * x * x),
+                         data=(d,))
+    lo = jnp.full((n,), -2.0, jnp.float32)
+    hi = jnp.full((n,), 2.0, jnp.float32)
+    full = np.random.RandomState(3).uniform(-2, 2, (2048, n))
+    xb = jnp.asarray(full[[77, 194, 213, 250]], jnp.float32)
+
+    kw = dict(bounds=(lo, hi), max_iter=1000, max_iter_ls=30, fused=False)
+    r_ref = solvers.batch_minimize(
+        solvers.SpectralProjectedGradient(grad_tol=1e-4), ls.GLLQuadratic(),
+        oracle, xb, **kw)
+    assert (np.asarray(r_ref.status) == 2).all()  # the documented tail
+    r_abb = solvers.batch_minimize(
+        solvers.SpectralProjectedGradient(grad_tol=1e-4,
+                                          bb_variant="alternate"),
+        ls.GLLQuadratic(), oracle, xb, **kw)
+    assert (np.asarray(r_abb.status) == 1).all()
+    assert (np.asarray(r_abb.iterations) < 1000).all()
+    assert (np.asarray(r_abb.pg_norm) <= 1e-4).all()
+
+
+def test_spg_alternate_bb_fused_matches_unfused():
+    """The fused _SPGSpec's alternate-BB path (float parity scratch row)
+    must reproduce the unfused trajectories (interpret mode)."""
+    from optimization_solvers_tpu.ops.pallas_driver import fused_minimize
+
+    n = 16
+    d = jnp.asarray(np.logspace(0, 2, n), jnp.float32)
+
+    def quad(x, diag):
+        return 0.5 * jnp.sum(diag * x * x)
+
+    lo = jnp.full((n,), -1.5, jnp.float32)
+    hi = jnp.full((n,), 2.0, jnp.float32)
+    x0 = jnp.asarray(np.random.RandomState(7).uniform(-1.5, 2, (16, n)),
+                     jnp.float32)
+    m = solvers.SpectralProjectedGradient(grad_tol=1e-5,
+                                          bb_variant="alternate")
+    r_u = solvers.batch_minimize(
+        m, ls.GLLQuadratic(), make_oracle(quad, data=(d,)), x0,
+        bounds=(lo, hi), max_iter=2000, max_iter_ls=30, fused=False)
+    r_f = fused_minimize(
+        m, ls.GLLQuadratic(), quad, x0, lo, hi, consts=(d,),
+        max_iter=2000, max_iter_ls=30, tile=16, interpret=True)
+    # BB dynamics are chaotic: fused/unfused f32 reduction orders diverge
+    # in iteration COUNT (~±10%) while agreeing semantically — assert the
+    # semantic invariants (both converge, both certify pg, same optimum)
+    np.testing.assert_array_equal(np.asarray(r_f.status),
+                                  np.asarray(r_u.status))
+    assert (np.asarray(r_f.status) == 1).all()
+    assert (np.asarray(r_f.pg_norm) <= 1e-5).all()
+    np.testing.assert_allclose(np.asarray(r_f.x), np.asarray(r_u.x),
+                               atol=1e-5)
+    assert np.allclose(np.asarray(r_f.iterations),
+                       np.asarray(r_u.iterations), rtol=0.4)
+
+
+def test_spg_bb_variant_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="bb_variant"):
+        solvers.SpectralProjectedGradient(bb_variant="bb3")

@@ -79,6 +79,8 @@ COMBOS = [
     # mixed finite/+-inf bounds: covers Mosaic lowering of infinite bound
     # operands (the XLA chunked Cauchy walk had a NaN bug in exactly this
     # geometry, BENCH_NOTES round 2)
+    # opt-in alternating BB1/BB2 (config-3 tail cycling-breaker, round 4)
+    ("SPG-abb+GLL", solvers.SpectralProjectedGradient(grad_tol=1e-4, bb_variant="alternate"), ls.GLLQuadratic(), True),
     ("SPG+GLL-mixedinf", solvers.SpectralProjectedGradient(grad_tol=1e-4), ls.GLLQuadratic(), "mixedinf"),
     ("BFGSB+BTB-mixedinf", solvers.BFGSB(tol=1e-5), ls.BackTrackingB(), "mixedinf"),
 ]
