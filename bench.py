@@ -526,11 +526,15 @@ def bench_config3():
 
 def bench_config4():
     """L-BFGS-B (m=10) on the bounded 10,000-dim log-sum-exp, 64-instance
-    batch on one chip (the block-partitioned multi-host variant is
-    `parallel.coordinate_sharded_lbfgsb_minimize`, exercised on the virtual
-    mesh in tests and by __graft_entry__.dryrun_multichip).  Throughput
-    scales sub-linearly in batch (lockstep stragglers): 39 solves/s at
-    B=8, 97 at B=64 (BENCH_NOTES round 2)."""
+    batch on one chip, through the GENERAL API (``ost.minimize``): on TPU
+    it auto-routes to the tall-layout fused kernel (instances on sublanes,
+    GCP by segment bisection — ops/pallas_lbfgsb_tall.py, round 4); the
+    lockstep XLA path is measured alongside as a sub-record.  The
+    block-partitioned multi-host variant is
+    `parallel.coordinate_sharded_lbfgsb_minimize` (virtual-mesh tests +
+    __graft_entry__.dryrun_multichip)."""
+    import optimization_solvers_tpu as ost
+
     n, rows, B = 10_000 // SCALE, 512, 64
     key = jax.random.PRNGKey(0)
     A = (jax.random.normal(key, (rows, n)) / np.sqrt(n)).astype(DTYPE)
@@ -540,16 +544,39 @@ def bench_config4():
     upper = jnp.full((n,), 1.0, DTYPE)
     from optimization_solvers_tpu.solvers.lbfgsb import lbfgsb_batch_minimize
 
+    def lse(x, A_, b_):
+        z = A_ @ x + b_
+        mx = jnp.max(z)
+        return mx + jnp.log(jnp.sum(jnp.exp(z - mx)))
+
+    def solve(x):
+        return ost.minimize(lse, x, method="lbfgsb", bounds=(-1.0, 1.0),
+                            data=(A, b), m=10, pgtol=1e-5, factr=1e3,
+                            max_iter=200)
+
     cfg = LbfgsbConfig(m=10, pgtol=1e-5, factr=1e3, max_iter=200,
                        lockstep_unroll=int(os.environ.get("BENCH_UNROLL", 1)))
-    solve = jax.jit(
+    solve_lockstep = jax.jit(
         lambda x0: lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg))
 
     rng = np.random.RandomState(4)
     inputs = [jnp.asarray(rng.uniform(-0.5, 0.5, (B, n)), DTYPE)
               for _ in range(REPEATS + 1)]
     _fence(solve(inputs[0]))
-    ts, r = _timed(solve, inputs[1:])
+    _fence(solve_lockstep(inputs[0]))
+    # interleave the two paths so box-load drift hits both equally
+    ts, ts_lk = [], []
+    r = r_lk = None
+    for x in inputs[1:]:
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        r = solve(x)
+        _fence(r)
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        r_lk = solve_lockstep(x)
+        _fence(r_lk)
+        ts_lk.append(time.perf_counter() - t0)
     dt = statistics.median(ts)
     cpu = _scipy_lse_baseline(np.asarray(A, np.float64),
                               np.asarray(b, np.float64))
@@ -562,7 +589,17 @@ def bench_config4():
         "baseline_cpu_solves_per_sec": round(cpu, 4),
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
         "median_iterations": float(np.median(np.asarray(r.iterations))),
-        "path": "general_api_lockstep_xla",
+        "median_final_f": float(np.median(np.asarray(r.f))),
+        "lockstep_xla": {
+            "solves_per_sec": round(B / statistics.median(ts_lk), 2),
+            "solves_per_sec_spread": _spread([B / t for t in ts_lk]),
+            "converged_fraction": float(
+                (np.asarray(r_lk.status) == 1).mean()),
+            "median_iterations": float(
+                np.median(np.asarray(r_lk.iterations))),
+            "median_final_f": float(np.median(np.asarray(r_lk.f))),
+        },
+        "path": "general_api_fused_tall_auto",
     }
 
 

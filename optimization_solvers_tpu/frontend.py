@@ -97,22 +97,32 @@ def _method_and_search(name, tol, options):
 _FUSED_LBFGSB_PROBED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile):
+def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile,
+                        tall: bool = False):
     """Dedicated fused-kernel route for the batched lbfgsb method, with the
     same outer-jit safety the driver's generic route has: when called under
     an outer ``jax.jit`` a kernel-compile failure would surface at the
     OUTER compile where no try/except here can catch it, so under a tracer
     the kernel is AOT compile-probed first.  Returns ``None`` to send the
-    caller to the lockstep XLA path."""
+    caller to the lockstep XLA path.
+
+    ``tall=True`` targets the large-n tall-layout kernel
+    (:func:`ops.pallas_lbfgsb_tall.lbfgsb_solve_fused_tall`, instances on
+    sublanes) instead of the lane-last whole-solve kernel."""
     import jax
 
-    from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
+    if tall:
+        from optimization_solvers_tpu.ops.pallas_lbfgsb_tall import (
+            lbfgsb_solve_fused_tall as _solve)
+    else:
+        from optimization_solvers_tpu.ops.pallas_lbfgsb import (
+            lbfgsb_solve_fused as _solve)
 
     B, n = x0.shape
     pad = (-B) % tile
 
     def run(xb_, lo_, up_, cs):
-        return lbfgsb_solve_fused(
+        return _solve(
             f, xb_, lo_, up_, consts=cs, m=cfg.m, pgtol=cfg.pgtol,
             factr=cfg.factr, max_iter=cfg.max_iter,
             max_iter_ls=max(cfg.max_iter_ls, 20), tile=tile, c1=cfg.ls_c1)
@@ -125,7 +135,7 @@ def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile):
                 tuple((jnp.shape(c), str(jnp.result_type(c)))
                       for c in consts),
                 cfg.m, cfg.pgtol, cfg.factr, cfg.max_iter,
-                max(cfg.max_iter_ls, 20), tile, cfg.ls_c1)
+                max(cfg.max_iter_ls, 20), tile, cfg.ls_c1, tall)
         try:
             cache = _FUSED_LBFGSB_PROBED.setdefault(f, {})
         except TypeError:       # non-weakref-able callable: probe per call
@@ -234,9 +244,14 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
             tile = 512 if B % 512 == 0 else (256 if B >= 256 else B)
             # whole-solve VMEM residency: histories + slabs are
             # ~(2m + 10) * n * tile * 4 bytes; past ~100 MB the kernel
-            # cannot compile — go straight to the lockstep XLA path
-            # (which is what the 10k-dim config-4 workload uses)
-            fits = (2 * cfg.m + 10) * n * tile * 4 < 100 * 2 ** 20
+            # cannot compile.  The lane-last kernel is also the WRONG
+            # layout for large n: its GCP walk is O(segments * n) and a
+            # small batch tile wastes lanes — send that class to the
+            # tall kernel below instead (n <= 512 keeps the small-n
+            # kernel for every previously-routed shape incl. the
+            # B >= 128 headline tiles)
+            fits = ((2 * cfg.m + 10) * n * tile * 4 < 100 * 2 ** 20
+                    and (tile >= 128 or n <= 512))
             # options the kernel does not honor keep the solve on the
             # lockstep dcsrch path (see docstring) instead of silently
             # dropping them
@@ -245,11 +260,28 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
                        and cfg.rel_pg_stop == default.rel_pg_stop
                        and cfg.verbose == default.verbose
                        and cfg.curvature_eps == default.curvature_eps)
-            if raw and fits and honored and jax.default_backend() == "tpu":
-                r = _fused_lbfgsb_route(f, x0, lower, upper, tuple(data),
-                                        cfg, tile)
-                if r is not None:
-                    return r
+            if raw and honored and jax.default_backend() == "tpu":
+                if fits:
+                    r = _fused_lbfgsb_route(f, x0, lower, upper,
+                                            tuple(data), cfg, tile)
+                    if r is not None:
+                        return r
+                # large-n class (config 4): the whole-solve lane-last
+                # kernel cannot hold its slabs (or wastes lanes), but the
+                # tall-layout kernel (instances on sublanes, GCP by
+                # segment bisection) can — measured ~3.9x the lockstep
+                # XLA path on the 10k-dim bounded log-sum-exp (round 4)
+                tall_tile = 16 if B % 16 == 0 and B >= 16 else (
+                    8 if B % 8 == 0 else B)
+                tall_fits = ((2 * cfg.m + 12) * n * tall_tile * 4
+                             + sum(4 * int(jnp.size(c)) for c in data)
+                             ) * 2.5 < 120 * 2 ** 20
+                if not fits and tall_fits:
+                    r = _fused_lbfgsb_route(f, x0, lower, upper,
+                                            tuple(data), cfg,
+                                            tall_tile, tall=True)
+                    if r is not None:
+                        return r
             return lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg)
         return lbfgsb_minimize(oracle, x0, lower, upper, cfg)
 

@@ -112,4 +112,25 @@ for name, m, s, bounded in COMBOS:
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:150]}", flush=True)
         fail += 1
+# dedicated kernels outside the generic driver: the tall-layout large-n
+# L-BFGS-B (round 4; segment-bisection GCP) on a bound-active geometry
+try:
+    from optimization_solvers_tpu.ops.pallas_lbfgsb_tall import (
+        lbfgsb_solve_fused_tall)
+
+    t0 = time.perf_counter()
+    r = lbfgsb_solve_fused_tall(
+        quad, x0[:16], lo, hi, consts=(d,), m=5, pgtol=1e-6, factr=10.0,
+        max_iter=300, tile=8)
+    conv = float(np.isin(np.asarray(r.status), (1,)).mean())
+    medf = float(np.median(np.asarray(r.f)))
+    dt = time.perf_counter() - t0
+    tag = "OK " if conv > 0.95 else "WARN"
+    print(f"{tag} TALL-LBFGSB: conv {conv:.2f} med_f {medf:.2e} ({dt:.0f}s)",
+          flush=True)
+    ok += 1
+except Exception as e:
+    print(f"FAIL TALL-LBFGSB: {type(e).__name__}: {str(e)[:150]}", flush=True)
+    fail += 1
+
 print(f"SWEEP-DONE ok={ok} fail={fail}", flush=True)
