@@ -50,7 +50,7 @@ from optimization_solvers_tpu.ops.pallas_lbfgs import (
 
 
 def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
-                 c1, dtype):
+                 c1, dtype, unbounded=False):
     eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
     f_rtol = factr * eps_mach
     curvature_eps = eps_mach
@@ -476,12 +476,16 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             feasible step as the initial trial cap."""
             g0d = jnp.sum(G[...] * d, axis=0, keepdims=True)
             f0 = Fv[...]
-            pos = (up - X[...]) / d
-            neg = (lo - X[...]) / d
-            fs = jnp.where(d > 0.0, pos, jnp.where(d < 0.0, neg, inf))
-            fs = jnp.where(jnp.isnan(fs), inf, fs)
-            stpmax = jnp.min(fs, axis=0, keepdims=True)
-            ls_t[...] = jnp.minimum(jnp.ones((1, T), dtype), stpmax)
+            if unbounded:
+                # every bound infinite (static): stpmax = inf, cap = 1
+                ls_t[...] = jnp.ones((1, T), dtype)
+            else:
+                pos = (up - X[...]) / d
+                neg = (lo - X[...]) / d
+                fs = jnp.where(d > 0.0, pos, jnp.where(d < 0.0, neg, inf))
+                fs = jnp.where(jnp.isnan(fs), inf, fs)
+                stpmax = jnp.min(fs, axis=0, keepdims=True)
+                ls_t[...] = jnp.minimum(jnp.ones((1, T), dtype), stpmax)
             ls_done[...] = (~active).astype(jnp.int32)
 
             def cond(s):
@@ -504,6 +508,43 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             return ls_t[...]
 
         # ------------------------------------------------------------------
+
+        def two_loop(g):
+            """d = -B^{-1} g over the chronological history (H0 =
+            theta^{-1} I) — returns r_tl with x - r_tl the QN point."""
+            th = theta[...]
+            q = g
+            alphas = [None] * m
+            for j in range(m - 1, -1, -1):
+                vj = (validf[j] > 0).astype(dtype)[None, :]
+                a = (vj / Dh[j][None, :]) * jnp.sum(
+                    S[j] * q, axis=0, keepdims=True)
+                q = q - a * Y[j]
+                alphas[j] = a
+            r_tl = q / th
+            for j in range(m):
+                vj = (validf[j] > 0).astype(dtype)[None, :]
+                b = (vj / Dh[j][None, :]) * jnp.sum(
+                    Y[j] * r_tl, axis=0, keepdims=True)
+                r_tl = r_tl + (alphas[j] - b) * S[j]
+            return r_tl
+
+        def body_unbounded(carry):
+            """Statically all-infinite box (VERDICT round-3 item 8): the
+            interior gate's conditions hold identically — no coordinate is
+            ever blocked, t_first = inf, the QN point is always "in box" —
+            so the fast path IS the iteration, and the gate's
+            w_dot(d0)/mid_solve/dt0 probes AND the middle factorization
+            behind them are skipped at trace time (the gate measured ~12%
+            of the headline kernel, BENCH_NOTES round-3 ablation)."""
+            i, _go = carry
+            active = active_mask()
+            # the two-loop needs only the patched curvature diagonal
+            for p in range(m):
+                Dh[p] = jnp.where(validf[p] > 0, SYt[p, p],
+                                  jnp.ones((T,), dtype))
+            dvec[...] = -two_loop(G[...])
+            return finish_step(i, active)
 
         def body(carry):
             i, _go = carry
@@ -549,21 +590,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                 jnp.where(f1_0 < 0.0, inf, jnp.zeros((1, T), dtype)))
 
             # two-loop d = -B^{-1} g over the same chronological history
-            q = g
-            alphas = [None] * m
-            for j in range(m - 1, -1, -1):
-                vj = (validf[j] > 0).astype(dtype)[None, :]
-                a = (vj / Dh[j][None, :]) * jnp.sum(
-                    S[j] * q, axis=0, keepdims=True)
-                q = q - a * Y[j]
-                alphas[j] = a
-            r_tl = q / th
-            for j in range(m):
-                vj = (validf[j] > 0).astype(dtype)[None, :]
-                b = (vj / Dh[j][None, :]) * jnp.sum(
-                    Y[j] * r_tl, axis=0, keepdims=True)
-                r_tl = r_tl + (alphas[j] - b) * S[j]
-            xn = x - r_tl
+            xn = x - two_loop(g)
             in_box = jnp.min(
                 jnp.minimum(xn - lo, up - xn), axis=0, keepdims=True) >= 0.0
             okf = (~blocked) & (dt0 < t_first) & in_box
@@ -580,6 +607,9 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                 free = cauchy_point(active)
                 dvec[...] = subspace(free) - X[...]
 
+            return finish_step(i, active)
+
+        def finish_step(i, active):
             d = dvec[...]
             t = line_search(d, active)
 
@@ -701,7 +731,8 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             i, go = carry
             return (i < max_iter) & go
 
-        lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(True)))
+        lax.while_loop(cond, body_unbounded if unbounded else body,
+                       (jnp.int32(0), jnp.asarray(True)))
 
         finite = jnp.isfinite(Fv[...])
         conv = pg_inf_norm() <= pgtol
@@ -767,13 +798,25 @@ def lbfgsb_solve_fused(
     dtype = x0.dtype
     T = tile
 
+    # statically-unbounded problems (every bound infinite, known at trace
+    # time) skip the interior gate and the middle factorization entirely
+    # (body_unbounded) — concrete-array check only; traced bounds keep the
+    # general kernel
+    try:
+        import numpy as _np
+
+        unbounded = bool(_np.all(_np.isneginf(_np.asarray(lower)))
+                         and _np.all(_np.isposinf(_np.asarray(upper))))
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        unbounded = False
+
     xT = x0.T.reshape(1, n, B)
     loT = jnp.broadcast_to(lower.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
     upT = jnp.broadcast_to(upper.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
 
     kernel = _make_kernel(
         f, len(consts), n, m, T, pgtol, factr, max_iter, max_iter_ls, c1,
-        dtype
+        dtype, unbounded=unbounded
     )
     const_specs = [
         pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,

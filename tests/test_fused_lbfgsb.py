@@ -115,3 +115,28 @@ def test_fused_lbfgsb_mixed_infinite_bounds():
     assert int((res.status == Status.CONVERGED).sum()) == 4
     expect = np.tile([1.0, -1.0, 1.0, -3.0, 6.0], (4, 1))
     np.testing.assert_allclose(np.asarray(res.x), expect, atol=1e-4)
+
+
+def test_fused_lbfgsb_statically_unbounded_body():
+    """Every bound infinite and concrete at trace time takes the dedicated
+    unbounded body (gate + middle factorization skipped at trace time,
+    round 4) — semantics must match the bounded kernel run with the same
+    infinite bounds passed as (traced-equivalent) arrays."""
+    f = problems.rosenbrock()
+    n = 16
+    x0 = jnp.asarray(np.random.RandomState(5).uniform(-2, 2, (4, n)))
+    res = lbfgsb_solve_fused(
+        f, x0, jnp.full(n, -jnp.inf), jnp.full(n, jnp.inf),
+        m=5, pgtol=1e-7, factr=10.0, max_iter=800, tile=4, interpret=True)
+    assert (np.asarray(res.status) == 1).all()
+    f_vals = np.asarray(res.f)
+    assert ((f_vals < 1e-10) | (np.abs(f_vals - 3.9866) < 1e-2)).all()
+    # bounded body forced via a traced-bounds call (jit hides concreteness)
+    solve_traced = jax.jit(lambda lo, hi: lbfgsb_solve_fused(
+        f, x0, lo, hi, m=5, pgtol=1e-7, factr=10.0, max_iter=800, tile=4,
+        interpret=True))
+    res_b = solve_traced(jnp.full(n, -jnp.inf), jnp.full(n, jnp.inf))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_b.x),
+                               atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(res.iterations),
+                                  np.asarray(res_b.iterations))
