@@ -231,6 +231,39 @@ def run_backend(cpu_x64: bool):
           f"{'HIT' if err < REF_TOL else 'miss'} ({st}, {it} it, {path})",
           flush=True)
 
+    # frontend-default certification pass (round 4, VERDICT item 4): the
+    # rows that hit the VALUE tolerance but burned their budget certifying
+    # the f64-strength grad_tol=1e-6 must CONVERGE under the front end's
+    # dtype-aware default tol (1e-4 for f32 x0; frontend.py)
+    import optimization_solvers_tpu as ost
+
+    anchors = {a[0]: a for a in build_anchors(jnp, solvers, ls)}
+    by_name = {r["name"]: r for r in records if "name" in r}
+    fe_cases = [
+        ("spn_expbowl", "spn", {}),
+        ("spn_expbowl_pbb", "spn", {"precond_bb": True}),
+        ("lbfgs_rosen16", "lbfgs", {"m": 5}),
+    ]
+    for name, fe_method, opts in fe_cases:
+        _, f, x0l, bounds, f_star, _, _, max_iter = anchors[name]
+        xb = jnp.broadcast_to(jnp.asarray(x0l, dtype),
+                              (B, len(x0l)))
+        kw = dict(max_iter=max_iter, **opts)
+        if bounds is not None:
+            kw["bounds"] = (jnp.asarray(bounds[0], dtype),
+                            jnp.asarray(bounds[1], dtype))
+        res = ost.minimize(f, xb, method=fe_method, **kw)
+        st = Status(int(np.asarray(res.status)[0])).name
+        err = abs(float(np.asarray(res.f)[0]) - f_star)
+        if name in by_name:
+            by_name[name]["frontend_default_status"] = st
+            by_name[name]["frontend_default_f_err"] = err
+            by_name[name]["frontend_default_iterations"] = int(
+                np.asarray(res.iterations)[0])
+        print(f"[{backend}] {name} via frontend defaults: {st} "
+              f"f_err={err:.3e} "
+              f"({int(np.asarray(res.iterations)[0])} it)", flush=True)
+
     out = os.path.join(REPO, f"tpu_accuracy_{'cpu' if cpu_x64 else 'tpu'}.json")
     with open(out, "w") as fh:
         json.dump(dict(backend=backend, device=str(dev),
@@ -274,11 +307,17 @@ def write_doc():
             continue
         n_tot += 1
         n_hit += bool(t["hit_ref_tol"])
+        st = f"{t['status']} / {t['iterations']}"
+        if "frontend_default_status" in t:
+            # round-4 dtype-aware frontend default (tol 1e-4 in f32):
+            # same anchor certified inside the budget
+            st += (f" (frontend defaults: {t['frontend_default_status']}"
+                   f" / {t['frontend_default_iterations']})")
         lines.append(
             f"| {name} | {t['method']} + {t['search']} | {t['path']} "
             f"| {t['f_err']:.2e} | {'**yes**' if t['hit_ref_tol'] else 'no'} "
             f"| {c['f_err']:.2e} | {'yes' if c['hit_ref_tol'] else 'no'} "
-            f"| {t['status']} / {t['iterations']} |")
+            f"| {st} |")
     lines += [
         "",
         f"**{n_hit}/{n_tot} anchors hit the reference 1e-6 tolerance on "
