@@ -378,6 +378,15 @@ def bench_config2():
         "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
         "baseline_cpu_solves_per_sec": round(cpu, 2),
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
+        # round 4: lanes whose s/y-stall exit fires at pg_norm > tol are
+        # labeled STALLED instead of CONVERGED (VERDICT item 5) — on this
+        # f32 workload most lanes reach a minimum (stationary_fraction,
+        # value-based) but cannot certify pg 2e-4 on the Rosenbrock
+        # valley, so the honest split is ~0.11 converged / ~0.88 stalled;
+        # the reference reports all of them as plain Ok(()) success
+        "stalled_fraction": float((np.asarray(r.status) == 6).mean()),
+        "success_fraction_reference_semantics": float(
+            np.isin(np.asarray(r.status), (1, 6)).mean()),
         "stationary_fraction": float(stationary.mean()),
         "median_final_f": float(np.median(f_vals)),
         "median_iterations": float(np.median(np.asarray(r.iterations))),

@@ -10,6 +10,7 @@ from optimization_solvers_tpu.parallel.sharded import (
     sharded_lbfgsb_minimize,
     sharded_fused_minimize,
     sharded_lbfgsb_solve_fused,
+    sharded_lbfgsb_solve_fused_tall,
     sharded_summary,
 )
 
@@ -20,6 +21,7 @@ __all__ = [
     "sharded_lbfgsb_minimize",
     "sharded_fused_minimize",
     "sharded_lbfgsb_solve_fused",
+    "sharded_lbfgsb_solve_fused_tall",
     "coordinate_sharded_minimize",
     "coordinate_sharded_lbfgsb_minimize",
     "sharded_summary",

@@ -324,3 +324,42 @@ def sharded_fused_minimize(
 
     x0 = jax.device_put(x0, NamedSharding(mesh, P(axis, None)))
     return jax.jit(solve_shard)(x0)
+
+
+def sharded_lbfgsb_solve_fused_tall(
+    f,
+    x0: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    consts: tuple = (),
+    *,
+    mesh: Mesh,
+    axis: str = "dp",
+    **fused_kwargs,
+) -> SolveResult:
+    """Multi-chip large-n fused path (config-4 class at pod scale):
+    ``shard_map`` of the tall-layout L-BFGS-B kernel
+    (:func:`ops.pallas_lbfgsb_tall.lbfgsb_solve_fused_tall`) over the
+    batch axis — each device runs its shard's (T, n) sublane tiles to
+    completion independently.  ``consts`` (the problem-data arrays, e.g.
+    the (rows, n) design matrix) are replicated per device; the per-device
+    shard size must be a multiple of the kernel ``tile`` (default 8).
+    """
+    from optimization_solvers_tpu.ops.pallas_lbfgsb_tall import (
+        lbfgsb_solve_fused_tall,
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None), P(None)),
+        out_specs=_result_specs(axis),
+        check_vma=False,
+    )
+    def solve_shard(x0_local, lo, up):
+        return lbfgsb_solve_fused_tall(
+            f, x0_local, lo, up, consts, **fused_kwargs
+        )
+
+    x0 = jax.device_put(x0, NamedSharding(mesh, P(axis, None)))
+    return jax.jit(solve_shard)(x0, lower, upper)

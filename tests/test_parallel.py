@@ -165,3 +165,34 @@ def test_sharded_generic_fused_matches_single_device():
         np.asarray(r_sharded.iterations), np.asarray(r_single.iterations))
     np.testing.assert_array_equal(
         np.asarray(r_sharded.status), np.asarray(r_single.status))
+
+
+def test_sharded_tall_lbfgsb_per_shard_bitexact():
+    """shard_map of the tall-layout large-n kernel (round 4): each device's
+    shard must be BIT-EXACT with a standalone kernel run on that shard
+    (same shapes, grid=1 per device)."""
+    from optimization_solvers_tpu.ops.pallas_lbfgsb_tall import (
+        lbfgsb_solve_fused_tall)
+    from optimization_solvers_tpu.parallel import (
+        make_mesh, sharded_lbfgsb_solve_fused_tall)
+
+    f = problems.rosenbrock()
+    n, B = 12, 16                     # 8 devices x shard 2, tile 2
+    x0 = jnp.asarray(np.random.RandomState(9).uniform(-2, 2, (B, n)))
+    lo = jnp.full((n,), -2.0)
+    hi = jnp.full((n,), 1.2)          # active upper bounds
+    mesh = make_mesh((8,), ("dp",))
+    kw = dict(m=5, pgtol=1e-6, factr=10.0, max_iter=300, tile=2,
+              interpret=True)
+    r_sharded = sharded_lbfgsb_solve_fused_tall(
+        f, x0, lo, hi, mesh=mesh, axis="dp", **kw)
+    x_ps, st_ps = [], []
+    for s in range(8):
+        r = lbfgsb_solve_fused_tall(f, x0[2 * s:2 * (s + 1)], lo, hi, **kw)
+        x_ps.append(np.asarray(r.x))
+        st_ps.append(np.asarray(r.status))
+    np.testing.assert_array_equal(
+        np.asarray(r_sharded.x), np.concatenate(x_ps))
+    np.testing.assert_array_equal(
+        np.asarray(r_sharded.status), np.concatenate(st_ps))
+    assert np.isin(np.asarray(r_sharded.status), (1,)).all()
