@@ -189,6 +189,23 @@ def _fence(r):
     return float(np.asarray(r.f).sum())
 
 
+def _timed_interleaved(solves, inputs):
+    """Interleaved per-repeat wall times for several device solve variants
+    over the same distinct pre-staged inputs — box-load drift hits every
+    variant equally, with the same fencing discipline as :func:`_timed`.
+    Returns ``(times_per_variant, last_result_per_variant)``."""
+    times = [[] for _ in solves]
+    results = [None] * len(solves)
+    for x in inputs:
+        jax.block_until_ready(x)
+        for i, sv in enumerate(solves):
+            t0 = time.perf_counter()
+            results[i] = sv(x)
+            _fence(results[i])
+            times[i].append(time.perf_counter() - t0)
+    return times, results
+
+
 def _timed(solve, inputs):
     """Per-repeat wall times of ``solve`` over distinct pre-staged inputs
     (distinct: the tunnel memoizes repeat dispatches of identical args).
@@ -497,18 +514,8 @@ def bench_config3():
               for _ in range(REPEATS + 1)]
     _fence(solve(inputs[0]))
     _fence(solve_abb(inputs[0]))
-    # interleave the two variants so box-load drift hits both equally
-    ts, ts_abb = [], []
-    r = r_abb = None
-    for x in inputs[1:]:
-        t0 = time.perf_counter()
-        r = solve(x)
-        _fence(r)
-        ts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        r_abb = solve_abb(x)
-        _fence(r_abb)
-        ts_abb.append(time.perf_counter() - t0)
+    (ts, ts_abb), (r, r_abb) = _timed_interleaved(
+        [solve, solve_abb], inputs[1:])
     dt = statistics.median(ts)
     sps = B / dt
     cpu = _np_spg_baseline(np.asarray(d, np.float64))
@@ -573,19 +580,8 @@ def bench_config4():
               for _ in range(REPEATS + 1)]
     _fence(solve(inputs[0]))
     _fence(solve_lockstep(inputs[0]))
-    # interleave the two paths so box-load drift hits both equally
-    ts, ts_lk = [], []
-    r = r_lk = None
-    for x in inputs[1:]:
-        jax.block_until_ready(x)
-        t0 = time.perf_counter()
-        r = solve(x)
-        _fence(r)
-        ts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        r_lk = solve_lockstep(x)
-        _fence(r_lk)
-        ts_lk.append(time.perf_counter() - t0)
+    (ts, ts_lk), (r, r_lk) = _timed_interleaved(
+        [solve, solve_lockstep], inputs[1:])
     dt = statistics.median(ts)
     cpu = _scipy_lse_baseline(np.asarray(A, np.float64),
                               np.asarray(b, np.float64))

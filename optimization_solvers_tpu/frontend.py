@@ -271,11 +271,14 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
                 # tall-layout kernel (instances on sublanes, GCP by
                 # segment bisection) can — measured ~3.9x the lockstep
                 # XLA path on the 10k-dim bounded log-sum-exp (round 4)
+                from optimization_solvers_tpu.ops.pallas_lbfgsb_tall \
+                    import (VMEM_BUDGET_BYTES, VMEM_MARGIN,
+                            vmem_footprint_bytes)
+
                 tall_tile = 16 if B % 16 == 0 and B >= 16 else (
                     8 if B % 8 == 0 else B)
-                tall_fits = ((2 * cfg.m + 12) * n * tall_tile * 4
-                             + sum(4 * int(jnp.size(c)) for c in data)
-                             ) * 2.5 < 120 * 2 ** 20
+                tall_fits = (vmem_footprint_bytes(n, cfg.m, tall_tile, data)
+                             * VMEM_MARGIN < VMEM_BUDGET_BYTES)
                 if not fits and tall_fits:
                     r = _fused_lbfgsb_route(f, x0, lower, upper,
                                             tuple(data), cfg,

@@ -249,27 +249,31 @@ class _SPGSpec(_PGDSpec):
         self.alternate = getattr(method, "bb_variant", "bb1") == "alternate"
 
     def scratch(self, n, T, dtype):
-        return [((1, T), dtype),   # lam
-                ((1, T), dtype)]   # completed-step parity (0.0 / 1.0)
+        rows = [((1, T), dtype)]   # lam
+        if self.alternate:
+            rows.append(((1, T), dtype))  # completed-step parity (0/1)
+        return rows
 
     def init(self, st, X, G, Fv, ctx):
-        lam, par = st
+        lam = st[0]
         d0 = ctx.clip(X[...] - G[...]) - X[...]
         l0 = 1.0 / ctx.max(jnp.abs(d0))
         lam[...] = jnp.clip(l0, self.lam_min, self.lam_max)
-        par[...] = jnp.zeros((1, ctx.T), ctx.dtype)
+        if self.alternate:
+            st[1][...] = jnp.zeros((1, ctx.T), ctx.dtype)
 
     def direction(self, st, X, G, Fv, active, ctx):
         lam = st[0]
         return ctx.clip(X - lam[...] * G) - X
 
     def post_step(self, st, active, d, t, X_old, G_old, F_old, X, G, Fv, ctx):
-        lam, par = st
+        lam = st[0]
         s = X - X_old
         y = G - G_old
         sy = ctx.sum(s * y)
         raw = ctx.sum(s * s) / sy
         if self.alternate:
+            par = st[1]
             raw = jnp.where(par[...] > 0.5, sy / ctx.sum(y * y), raw)
             par[...] = jnp.where(active, 1.0 - par[...], par[...])
         lam_bb = jnp.clip(raw, self.lam_min, self.lam_max)

@@ -761,14 +761,48 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
     return kernel
 
 
+def lbfgsb_solve_fused(
+    f: Callable,
+    x0: jax.Array,                  # (B, n)
+    lower: jax.Array,               # (n,)
+    upper: jax.Array,               # (n,)
+    consts: tuple = (),             # problem-data arrays: f(x, *consts)
+    **kwargs,
+) -> SolveResult:
+    """Batched box-constrained solves with the fused L-BFGS-B kernel.
+
+    ``B`` must be a multiple of ``tile``.  Keep ``m`` small (default 5, the
+    reference's default): the in-kernel factorizations unroll in m.
+
+    This wrapper is NOT jitted so that statically-unbounded problems
+    (every bound infinite, CONCRETE at call time) can be detected and
+    routed to the dedicated unbounded kernel body, which skips the
+    interior gate and the middle factorization at trace time.  Inside
+    the jitted implementation the bounds are tracers and the check could
+    never succeed (round-4 review finding — the original in-jit check
+    made the unbounded body unreachable).  Called under an outer ``jit``
+    the detection degrades safely to the general bounded kernel.
+    """
+    try:
+        import numpy as _np
+
+        unbounded = bool(_np.all(_np.isneginf(_np.asarray(lower)))
+                         and _np.all(_np.isposinf(_np.asarray(upper))))
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        unbounded = False
+    return _lbfgsb_solve_fused_jit(f, x0, lower, upper, consts,
+                                   unbounded=unbounded, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "f", "m", "pgtol", "factr", "max_iter", "max_iter_ls", "tile", "c1",
-        "interpret", "vmem_limit_bytes",
+        "interpret", "vmem_limit_bytes", "unbounded",
     ),
 )
-def lbfgsb_solve_fused(
+def _lbfgsb_solve_fused_jit(
     f: Callable,
     x0: jax.Array,                  # (B, n)
     lower: jax.Array,               # (n,)
@@ -784,12 +818,8 @@ def lbfgsb_solve_fused(
     c1: float = 1e-3,
     interpret: bool = False,
     vmem_limit_bytes: int = None,
+    unbounded: bool = False,
 ) -> SolveResult:
-    """Batched box-constrained solves with the fused L-BFGS-B kernel.
-
-    ``B`` must be a multiple of ``tile``.  Keep ``m`` small (default 5, the
-    reference's default): the in-kernel factorizations unroll in m.
-    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -797,18 +827,6 @@ def lbfgsb_solve_fused(
     assert B % tile == 0, f"batch {B} not a multiple of tile {tile}"
     dtype = x0.dtype
     T = tile
-
-    # statically-unbounded problems (every bound infinite, known at trace
-    # time) skip the interior gate and the middle factorization entirely
-    # (body_unbounded) — concrete-array check only; traced bounds keep the
-    # general kernel
-    try:
-        import numpy as _np
-
-        unbounded = bool(_np.all(_np.isneginf(_np.asarray(lower)))
-                         and _np.all(_np.isposinf(_np.asarray(upper))))
-    except (TypeError, jax.errors.TracerArrayConversionError):
-        unbounded = False
 
     xT = x0.T.reshape(1, n, B)
     loT = jnp.broadcast_to(lower.astype(dtype)[:, None], (n, T)).reshape(1, n, T)

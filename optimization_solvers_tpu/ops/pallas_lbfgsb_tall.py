@@ -64,6 +64,22 @@ from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.core.types import SolveResult, Status
 
 
+def vmem_footprint_bytes(n: int, m: int, tile: int, consts=()) -> int:
+    """Estimated per-program VMEM working set of the tall kernel: slabs +
+    histories + a margin for the compiler's transient (T, n) temporaries.
+    Single source of truth for both the kernel's own vmem_limit and the
+    frontend router's fit check (keeping the two in sync was a round-4
+    review finding)."""
+    import numpy as _np
+
+    return (2 * m + 12) * tile * n * 4 + sum(
+        int(_np.size(c)) * 4 for c in consts)
+
+
+VMEM_BUDGET_BYTES = 120 * 2 ** 20       # v5e guardrail used by the router
+VMEM_MARGIN = 2.5                       # compiler-accounting inflation
+
+
 def _row_value_and_grad(f: Callable):
     """(T, n) -> ((T, 1), (T, n)) value-and-grad over the sublane axis."""
     bvg = jax.vmap(jax.value_and_grad(f), in_axes=0, out_axes=(0, 0))
@@ -367,7 +383,13 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             d_rem = -g * freef
             # dtm (hence t_cp) is +inf only when the model decreases beyond
             # every breakpoint, which requires d_rem == 0 (B SPD); guard the
-            # inf * 0 exactly as solvers/lbfgsb.py _cauchy_point does
+            # inf * 0 exactly as solvers/lbfgsb.py _cauchy_point does.
+            # Residual f32 exposure (shared with the XLA backend, kept for
+            # parity): if f2 rounds to <= eps with f1 < 0 while d_rem != 0,
+            # xcp goes infinite, the trial eval goes non-finite, and the
+            # lane recovers through the designed restart path (history
+            # wiped, steepest-descent retry with theta = 1, where f2 =
+            # |g|^2 is safely positive)
             xcp = jnp.where(
                 fixedf > 0, bound_vec,
                 x + jnp.where(d_rem == 0.0, 0.0, t_cp * d_rem))
@@ -703,12 +725,10 @@ def lbfgsb_solve_fused_tall(
         pltpu.VMEM((T, 1), jnp.int32),   # ls_done
     ]
     if vmem_limit_bytes is None and not interpret:
-        # per-program working set: slabs + histories + a margin for the
-        # compiler's transient (T, n) temporaries and const inflation
-        need = (2 * m + 12) * T * n * 4 + sum(
-            int(jnp.size(c)) * 4 for c in consts)
+        need = vmem_footprint_bytes(n, m, T, consts)
         if need * 2 > 16 * 2 ** 20:
-            vmem_limit_bytes = min(int(need * 2.5), 120 * 2 ** 20)
+            vmem_limit_bytes = min(int(need * VMEM_MARGIN),
+                                   VMEM_BUDGET_BYTES)
     extra = {}
     if vmem_limit_bytes is not None and not interpret:
         extra["compiler_params"] = pltpu.CompilerParams(

@@ -117,26 +117,42 @@ def test_fused_lbfgsb_mixed_infinite_bounds():
     np.testing.assert_allclose(np.asarray(res.x), expect, atol=1e-4)
 
 
-def test_fused_lbfgsb_statically_unbounded_body():
-    """Every bound infinite and concrete at trace time takes the dedicated
+def test_fused_lbfgsb_statically_unbounded_body(monkeypatch):
+    """Every bound infinite and concrete at call time takes the dedicated
     unbounded body (gate + middle factorization skipped at trace time,
     round 4) — semantics must match the bounded kernel run with the same
-    infinite bounds passed as (traced-equivalent) arrays."""
+    infinite bounds passed as traced arrays.  The flag is spied on: the
+    original in-jit detection made the body silently unreachable (round-4
+    review finding), so the test asserts it actually fires."""
+    from optimization_solvers_tpu.ops import pallas_lbfgsb as mod
+
+    seen = []
+    orig = mod._make_kernel
+
+    def spy(*args, **kw):
+        seen.append(kw.get("unbounded", False))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(mod, "_make_kernel", spy)
     f = problems.rosenbrock()
     n = 16
     x0 = jnp.asarray(np.random.RandomState(5).uniform(-2, 2, (4, n)))
-    res = lbfgsb_solve_fused(
+    res = mod.lbfgsb_solve_fused(
         f, x0, jnp.full(n, -jnp.inf), jnp.full(n, jnp.inf),
         m=5, pgtol=1e-7, factr=10.0, max_iter=800, tile=4, interpret=True)
+    assert seen == [True], seen
     assert (np.asarray(res.status) == 1).all()
     f_vals = np.asarray(res.f)
     assert ((f_vals < 1e-10) | (np.abs(f_vals - 3.9866) < 1e-2)).all()
     # bounded body forced via a traced-bounds call (jit hides concreteness)
-    solve_traced = jax.jit(lambda lo, hi: lbfgsb_solve_fused(
+    solve_traced = jax.jit(lambda lo, hi: mod.lbfgsb_solve_fused(
         f, x0, lo, hi, m=5, pgtol=1e-7, factr=10.0, max_iter=800, tile=4,
         interpret=True))
     res_b = solve_traced(jnp.full(n, -jnp.inf), jnp.full(n, jnp.inf))
+    assert seen[-1] is False          # traced bounds -> bounded body
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_b.x),
                                atol=1e-8)
-    np.testing.assert_array_equal(np.asarray(res.iterations),
-                                  np.asarray(res_b.iterations))
+    # the two bodies differ by one float reassociation in the direction
+    # ((x - r) - x vs -r), so iteration counts may drift by ~1
+    assert np.abs(np.asarray(res.iterations).astype(np.int64)
+                  - np.asarray(res_b.iterations)).max() <= 2

@@ -51,11 +51,11 @@ def _run(cmd, timeout, env=None):
 def step_tests(rec):
     code, out, dt = _run([PY, "-m", "pytest", "tests/", "-q"], timeout=1800)
     m = re.search(r"(\d+) passed", out)
+    mf = re.search(r"(\d+) failed", out)
     rec["tests"] = {
         "ok": code == 0,
         "passed": int(m.group(1)) if m else 0,
-        "failed": int(re.search(r"(\d+) failed", out).group(1))
-        if "failed" in out else 0,
+        "failed": int(mf.group(1)) if mf else 0,
         "seconds": round(dt, 1),
     }
     return code == 0
