@@ -120,6 +120,11 @@ def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile,
 
     B, n = x0.shape
     pad = (-B) % tile
+    if pad and jnp.ndim(lower) == 2:   # per-lane boxes pad with row 0 too
+        lower = jnp.concatenate(
+            [lower, jnp.broadcast_to(lower[:1], (pad, n))], axis=0)
+        upper = jnp.concatenate(
+            [upper, jnp.broadcast_to(upper[:1], (pad, n))], axis=0)
 
     def run(xb_, lo_, up_, cs):
         return _solve(
@@ -135,7 +140,8 @@ def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile,
                 tuple((jnp.shape(c), str(jnp.result_type(c)))
                       for c in consts),
                 cfg.m, cfg.pgtol, cfg.factr, cfg.max_iter,
-                max(cfg.max_iter_ls, 20), tile, cfg.ls_c1, tall)
+                max(cfg.max_iter_ls, 20), tile, cfg.ls_c1, tall,
+                int(jnp.ndim(lower)))
         try:
             cache = _FUSED_LBFGSB_PROBED.setdefault(f, {})
         except TypeError:       # non-weakref-able callable: probe per call
@@ -189,7 +195,10 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     three MAX_ITER anchor rows all CONVERGE at 1e-4).  An explicit ``tol``
     always wins.
 
-    The batched ``method="lbfgsb"`` route uses the fused whole-solve TPU
+    Batched ``method="lbfgsb"`` also accepts PER-LANE boxes — ``bounds``
+    arrays of shape (B, n) — each instance solving within its own box
+    (fused kernels take them as tiled operands; the XLA fallback vmaps).
+    The batched route uses the fused whole-solve TPU
     kernel when the objective is a raw callable and the VMEM footprint
     fits; that kernel pairs the L-BFGS-B step with a projected Armijo
     backtracking search (value-only) rather than the XLA path's dcsrch
@@ -216,8 +225,17 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
             lower = jnp.full((n,), -jnp.inf, x0.dtype)
             upper = jnp.full((n,), jnp.inf, x0.dtype)
         else:
-            lower = jnp.broadcast_to(jnp.asarray(bounds[0], x0.dtype), (n,))
-            upper = jnp.broadcast_to(jnp.asarray(bounds[1], x0.dtype), (n,))
+            lo_in = jnp.asarray(bounds[0], x0.dtype)
+            up_in = jnp.asarray(bounds[1], x0.dtype)
+            if batched and (lo_in.ndim == 2 or up_in.ndim == 2):
+                # PER-LANE boxes (a batch-axis capability; the reference
+                # is single-instance): both fused kernels take (B, n)
+                # bound operands tiled alongside x0
+                lower = jnp.broadcast_to(lo_in, x0.shape)
+                upper = jnp.broadcast_to(up_in, x0.shape)
+            else:
+                lower = jnp.broadcast_to(lo_in, (n,))
+                upper = jnp.broadcast_to(up_in, (n,))
         cfg_fields = set(LbfgsbConfig.__dataclass_fields__)
         # factr is RELATIVE to the working dtype's machine epsilon (the
         # Fortran convention): the f64-flavored default 1e7 means "stop at
@@ -285,6 +303,12 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
                                             tall_tile, tall=True)
                     if r is not None:
                         return r
+            if jnp.ndim(lower) == 2:
+                # per-lane boxes on the XLA path: the lockstep step closes
+                # over SHARED bounds, so map them through vmap instead
+                return jax.vmap(
+                    lambda xi, lo, up: lbfgsb_minimize(
+                        oracle, xi, lo, up, cfg))(x0, lower, upper)
             return lbfgsb_batch_minimize(oracle, x0, lower, upper, cfg)
         return lbfgsb_minimize(oracle, x0, lower, upper, cfg)
 

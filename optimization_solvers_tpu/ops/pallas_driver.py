@@ -1806,17 +1806,22 @@ def _pallas_solve(f, x0, lower, upper, consts, mspec, lspec, max_iter,
     in_specs = [pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
                              memory_space=pltpu.VMEM)]
     if bounded:
-        loT = jnp.broadcast_to(
-            jnp.asarray(lower, dtype)[:, None], (n, T)).reshape(1, n, T)
-        upT = jnp.broadcast_to(
-            jnp.asarray(upper, dtype)[:, None], (n, T)).reshape(1, n, T)
+        # bounds: shared (n,) replicated across lanes, or PER-LANE (B, n)
+        # boxes (round 4) — the kernel body sees an (n, T) block either way
+        if jnp.ndim(lower) == 2:
+            loT = jnp.asarray(lower, dtype).T.reshape(1, n, B)
+            upT = jnp.asarray(upper, dtype).T.reshape(1, n, B)
+            bspec = pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                                 memory_space=pltpu.VMEM)
+        else:
+            loT = jnp.broadcast_to(
+                jnp.asarray(lower, dtype)[:, None], (n, T)).reshape(1, n, T)
+            upT = jnp.broadcast_to(
+                jnp.asarray(upper, dtype)[:, None], (n, T)).reshape(1, n, T)
+            bspec = pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
         inputs += [loT, upT]
-        in_specs += [
-            pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        in_specs += [bspec, bspec]
     for c in tuple(consts) + mconsts:
         inputs.append(c)
         in_specs.append(
@@ -1912,6 +1917,12 @@ def fused_minimize(
     pad = (-B) % tile
     if pad:
         x0 = jnp.concatenate([x0, jnp.broadcast_to(x0[:1], (pad, n))], axis=0)
+        if lower is not None and jnp.ndim(lower) == 2:
+            # per-lane boxes pad with their row 0 alongside x0
+            lower = jnp.concatenate(
+                [lower, jnp.broadcast_to(lower[:1], (pad, n))], axis=0)
+            upper = jnp.concatenate(
+                [upper, jnp.broadcast_to(upper[:1], (pad, n))], axis=0)
 
     x_fin, f_fin, it_fin, st_fin = _pallas_solve(
         f, x0, lower, upper, tuple(consts), mspec, lspec, max_iter,
@@ -1920,6 +1931,8 @@ def fused_minimize(
     if pad:
         x_fin, f_fin = x_fin[:B], f_fin[:B]
         it_fin, st_fin = it_fin[:B], st_fin[:B]
+        if lower is not None and jnp.ndim(lower) == 2:
+            lower, upper = lower[:B], upper[:B]   # un-pad per-lane boxes
     f_host = (lambda x: f(x, *consts)) if consts else f
     _, g_fin = jax.vmap(jax.value_and_grad(f_host))(x_fin)
     pg = batched_pg_inf_norm(x_fin, g_fin, lower, upper)

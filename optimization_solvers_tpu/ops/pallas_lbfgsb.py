@@ -829,8 +829,24 @@ def _lbfgsb_solve_fused_jit(
     T = tile
 
     xT = x0.T.reshape(1, n, B)
-    loT = jnp.broadcast_to(lower.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
-    upT = jnp.broadcast_to(upper.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
+    # bounds: shared (n,) replicated across lanes, or PER-LANE (B, n)
+    # boxes (a batch-axis capability the single-instance reference cannot
+    # express) — the kernel body sees an (n, T) block either way
+    per_lane = jnp.ndim(lower) == 2
+    if per_lane:
+        assert jnp.shape(lower) == (B, n) and jnp.shape(upper) == (B, n), (
+            jnp.shape(lower), jnp.shape(upper))
+        loT = lower.astype(dtype).T.reshape(1, n, B)
+        upT = upper.astype(dtype).T.reshape(1, n, B)
+        bspec = pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
+                             memory_space=pltpu.VMEM)
+    else:
+        loT = jnp.broadcast_to(
+            lower.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
+        upT = jnp.broadcast_to(
+            upper.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
+        bspec = pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
 
     kernel = _make_kernel(
         f, len(consts), n, m, T, pgtol, factr, max_iter, max_iter_ls, c1,
@@ -880,10 +896,8 @@ def _lbfgsb_solve_fused_jit(
         in_specs=[
             pl.BlockSpec((1, n, T), lambda b: (0, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            bspec,
+            bspec,
             *const_specs,
         ],
         out_specs=(

@@ -694,10 +694,19 @@ def lbfgsb_solve_fused_tall(
     T = tile
 
     x3 = x0.reshape(1, B, n)
-    loT = jnp.broadcast_to(lower.astype(dtype)[None, :], (T, n)).reshape(
-        1, T, n)
-    upT = jnp.broadcast_to(upper.astype(dtype)[None, :], (T, n)).reshape(
-        1, T, n)
+    # bounds: shared (n,) or PER-LANE (B, n) boxes (batch-axis capability);
+    # the kernel body sees a (T, n) block either way
+    per_lane = jnp.ndim(lower) == 2
+    if per_lane:
+        assert jnp.shape(lower) == (B, n) and jnp.shape(upper) == (B, n), (
+            jnp.shape(lower), jnp.shape(upper))
+        loT = lower.astype(dtype).reshape(1, B, n)
+        upT = upper.astype(dtype).reshape(1, B, n)
+    else:
+        loT = jnp.broadcast_to(lower.astype(dtype)[None, :], (T, n)).reshape(
+            1, T, n)
+        upT = jnp.broadcast_to(upper.astype(dtype)[None, :], (T, n)).reshape(
+            1, T, n)
 
     kernel = _make_kernel(
         f, len(consts), n, m, T, pgtol, factr, max_iter, max_iter_ls, c1,
@@ -749,9 +758,13 @@ def lbfgsb_solve_fused_tall(
         in_specs=[
             pl.BlockSpec((1, T, n), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, n), lambda b: (0, 0, 0),
+            pl.BlockSpec((1, T, n),
+                         (lambda b: (0, b, 0)) if per_lane
+                         else (lambda b: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, n), lambda b: (0, 0, 0),
+            pl.BlockSpec((1, T, n),
+                         (lambda b: (0, b, 0)) if per_lane
+                         else (lambda b: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
             *const_specs,
         ],

@@ -446,7 +446,9 @@ def batch_minimize(
     (SURVEY.md §2.5): thousands of instances advance in lockstep per chip;
     converged lanes freeze (per-lane masks) while active lanes keep
     iterating.  Set ``batched_bounds=True`` if ``bounds`` carry a matching
-    leading batch axis.
+    leading batch axis (per-lane boxes): fused-kernel combos take them as
+    tiled (B, n) operands (round 4); the fallback vmaps the
+    single-instance loop.
 
     Routing: on TPU (or with ``fused=True``) combos with a fused whole-solve
     Pallas kernel take it (ops/pallas_driver.py) when the oracle exposes a
@@ -464,14 +466,13 @@ def batch_minimize(
             f"batch_minimize got unexpected keyword argument(s) "
             f"{sorted(unknown)}")
 
-    if fused is True and (batched_bounds or kwargs.get("callback") is not None):
-        # an explicit fused request cannot be honored on these paths —
+    if fused is True and kwargs.get("callback") is not None:
+        # an explicit fused request cannot be honored on this path —
         # refuse loudly rather than silently benchmarking the fallback
         raise ValueError(
-            "fused=True is incompatible with batched_bounds/callback "
-            "(the whole-solve kernels have no per-lane bounds or "
-            "per-iteration host hooks)")
-    if fused and not batched_bounds and kwargs.get("callback") is None:
+            "fused=True is incompatible with callback (the whole-solve "
+            "kernels have no per-iteration host hooks)")
+    if fused and kwargs.get("callback") is None:
         on_tpu = jax.default_backend() == "tpu"
         if fused is True or on_tpu:
             result = _try_fused_batch(
@@ -484,6 +485,7 @@ def batch_minimize(
                     "combo, or the oracle lacks a raw scalar objective)")
 
     if batched_bounds and bounds is not None:
+        # (reached when no fused kernel applied)
         # unroll is a lockstep-loop knob; the vmapped single-instance path
         # has no lockstep trip overhead to amortize
         kwargs = {k: v for k, v in kwargs.items() if k != "unroll"}

@@ -146,3 +146,26 @@ def test_frontend_dtype_aware_default_tol():
                          method="spn", bounds=(-1.0, 1.0), max_iter=1500)
     assert int(res64.status) == 1
     assert float(res64.pg_norm) <= 1e-6
+
+
+def test_frontend_per_lane_bounds_batched_lbfgsb():
+    """(B, n) bounds through the one-call front end: each lane gets its own
+    box (batch-axis capability beyond the single-instance reference).  On
+    CPU this takes the vmapped XLA path; on TPU the fused kernels accept
+    the same (B, n) bound operands."""
+    d = jnp.linspace(1.0, 6.0, 5)
+
+    def quad(x, dd):
+        return 0.5 * jnp.sum(dd * (x - 1.5) ** 2)
+
+    B, n = 3, 5
+    rng = np.random.RandomState(2)
+    lo = jnp.asarray(rng.uniform(-2.0, -1.0, (B, n)))
+    hi = jnp.asarray(rng.uniform(0.2, 3.0, (B, n)))
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.1, (B, n)))
+    res = ost.minimize(quad, x0, method="lbfgsb", bounds=(lo, hi),
+                       data=(d,), pgtol=1e-9, factr=10.0)
+    assert (np.asarray(res.status) == 1).all()
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.clip(1.5, np.asarray(lo), np.asarray(hi)),
+        atol=1e-7)

@@ -534,3 +534,46 @@ def test_dcsrch_fused_matches_unfused():
     assert np.isin(np.asarray(r_fb.status), (1, 6)).all()
     np.testing.assert_allclose(
         np.asarray(r_ub.x), np.asarray(r_fb.x), atol=1e-10)
+
+
+def test_generic_fused_per_lane_bounds():
+    """Per-lane (B, n) boxes through the GENERIC fused driver (round 4):
+    batched_bounds=True routes to the kernel with tiled bound operands and
+    matches the vmapped single-instance fallback."""
+    d = jnp.linspace(1.0, 12.0, N)
+
+    def quad_s(x, dd):
+        return 0.5 * jnp.sum(dd * (x - 1.2) ** 2)
+
+    rng = np.random.RandomState(3)
+    lo = jnp.asarray(rng.uniform(-2.0, -1.0, (B, N)))
+    hi = jnp.asarray(rng.uniform(0.1, 1.0, (B, N)))
+    x0 = jnp.asarray(rng.uniform(-0.9, 0.0, (B, N)))
+    expect = np.clip(1.2, np.asarray(lo), np.asarray(hi))
+    for method, search in [
+        (solvers.SpectralProjectedGradient(grad_tol=1e-8),
+         ls.GLLQuadratic()),
+        (solvers.BFGSB(tol=1e-9), ls.BackTrackingB()),
+    ]:
+        r_f = fused_minimize(
+            method, search, quad_s, x0, lo, hi, consts=(d,),
+            max_iter=500, max_iter_ls=40, tile=16, interpret=True)
+        assert np.isin(np.asarray(r_f.status), (1, 6)).all(), (
+            type(method).__name__, np.asarray(r_f.status))
+        np.testing.assert_allclose(np.asarray(r_f.x), expect, atol=1e-6,
+                                   err_msg=type(method).__name__)
+        # vmapped single-instance fallback agrees
+        r_v = solvers.batch_minimize(
+            method, search, make_oracle(quad_s, data=(d,)), x0,
+            bounds=(lo, hi), batched_bounds=True, fused=False,
+            max_iter=500, max_iter_ls=40)
+        np.testing.assert_allclose(np.asarray(r_f.x), np.asarray(r_v.x),
+                                   atol=1e-6)
+    # B not a tile multiple: per-lane boxes must pad AND un-pad alongside
+    # x0 (the first implementation computed pg_norm with padded bounds)
+    r_p = fused_minimize(
+        solvers.SpectralProjectedGradient(grad_tol=1e-8), ls.GLLQuadratic(),
+        quad_s, x0[:10], lo[:10], hi[:10], consts=(d,),
+        max_iter=500, max_iter_ls=40, tile=16, interpret=True)
+    assert r_p.x.shape == (10, N) and r_p.pg_norm.shape == (10,)
+    np.testing.assert_allclose(np.asarray(r_p.x), expect[:10], atol=1e-6)

@@ -156,3 +156,32 @@ def test_fused_lbfgsb_statically_unbounded_body(monkeypatch):
     # ((x - r) - x vs -r), so iteration counts may drift by ~1
     assert np.abs(np.asarray(res.iterations).astype(np.int64)
                   - np.asarray(res_b.iterations)).max() <= 2
+
+
+def test_fused_lbfgsb_per_lane_bounds():
+    """Per-lane (B, n) boxes through the fused kernel (round-4 batch-axis
+    capability; the single-instance reference cannot express it) — each
+    lane must match its own single-instance solve with its own box."""
+    d = jnp.linspace(1.0, 20.0, 6)
+
+    def quad(x, dd):
+        return 0.5 * jnp.sum(dd * (x - 2.0) ** 2)
+
+    B, n = 4, 6
+    rng = np.random.RandomState(8)
+    lo = jnp.asarray(np.sort(rng.uniform(-2.0, -0.5, (B, n)), axis=0))
+    hi = jnp.asarray(rng.uniform(0.3, 1.8, (B, n)))   # optimum x=2 outside
+    x0 = jnp.asarray(rng.uniform(-0.4, 0.2, (B, n)))
+    res = lbfgsb_solve_fused(
+        quad, x0, lo, hi, consts=(d,),
+        m=5, pgtol=1e-8, factr=10.0, max_iter=200, tile=4, interpret=True)
+    assert (np.asarray(res.status) == 1).all()
+    # optimum is the per-lane upper corner (objective decreasing toward 2)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(hi), atol=1e-6)
+    # per-lane single-instance cross-check
+    cfg = LbfgsbConfig(m=5, pgtol=1e-8, factr=10.0, max_iter=200)
+    oracle = make_oracle(lambda x: quad(x, d))
+    r1 = jax.vmap(lambda xi, l, u: lbfgsb_minimize(oracle, xi, l, u, cfg))(
+        x0, lo, hi)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(r1.x),
+                               atol=1e-7)

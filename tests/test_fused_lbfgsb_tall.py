@@ -141,3 +141,25 @@ def test_tall_abnormal_and_max_iter_statuses():
         f, x0, jnp.full(n, -2.0), jnp.full(n, 2.0),
         m=5, pgtol=1e-12, factr=0.0, max_iter=1, tile=2, interpret=True)
     assert (np.asarray(res.status) == int(Status.MAX_ITER_REACHED)).all()
+
+
+def test_tall_per_lane_bounds():
+    """Per-lane (B, n) boxes through the tall kernel: lanes with different
+    active sets must each land on their own constrained minimizer."""
+    n, B = 24, 4
+    rng = np.random.RandomState(11)
+    dd = jnp.asarray(np.linspace(1.0, 9.0, n))
+
+    def quad(x, d_):
+        return 0.5 * jnp.sum(d_ * (x - 1.5) ** 2)
+
+    lo = jnp.asarray(rng.uniform(-2.0, -1.0, (B, n)))
+    hi = jnp.asarray(rng.uniform(0.2, 3.0, (B, n)))
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.1, (B, n)))
+    res = lbfgsb_solve_fused_tall(
+        quad, x0, lo, hi, consts=(dd,),
+        m=5, pgtol=1e-8, factr=10.0, max_iter=300, tile=4, interpret=True)
+    assert (np.asarray(res.status) == 1).all()
+    # separable objective: per-coordinate optimum is clip(1.5, lo, hi)
+    expect = np.clip(1.5, np.asarray(lo), np.asarray(hi))
+    np.testing.assert_allclose(np.asarray(res.x), expect, atol=1e-6)

@@ -112,6 +112,37 @@ for name, m, s, bounded in COMBOS:
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:150]}", flush=True)
         fail += 1
+# per-lane (B, n) boxes through the dedicated L-BFGS-B kernel (round 4
+# batch-axis capability): each lane must land on its own box corner
+try:
+    from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
+
+    rngpl = np.random.RandomState(2)
+    Bpl = 128
+    lo_pl = jnp.asarray(rngpl.uniform(-2.0, -1.0, (Bpl, N)), DT)
+    hi_pl = jnp.asarray(rngpl.uniform(0.2, 1.2, (Bpl, N)), DT)
+    x_pl = jnp.asarray(rngpl.uniform(-0.5, 0.1, (Bpl, N)), DT)
+
+    def quad_sh(x, dd):
+        return 0.5 * jnp.sum(dd * (x - 1.5) ** 2)
+
+    t0 = time.perf_counter()
+    r = lbfgsb_solve_fused(quad_sh, x_pl, lo_pl, hi_pl, consts=(d,),
+                           m=5, pgtol=1e-5, factr=10.0, max_iter=200,
+                           tile=128)
+    expect = np.clip(1.5, np.asarray(lo_pl), np.asarray(hi_pl))
+    okx = float(np.abs(np.asarray(r.x) - expect).max())
+    conv = float((np.asarray(r.status) == 1).mean())
+    dt_ = time.perf_counter() - t0
+    tag = "OK " if conv > 0.95 and okx < 1e-4 else "WARN"
+    print(f"{tag} LBFGSB-perlane: conv {conv:.2f} max|x-x*| {okx:.2e} "
+          f"({dt_:.0f}s)", flush=True)
+    ok += 1
+except Exception as e:
+    print(f"FAIL LBFGSB-perlane: {type(e).__name__}: {str(e)[:150]}",
+          flush=True)
+    fail += 1
+
 # dedicated kernels outside the generic driver: the tall-layout large-n
 # L-BFGS-B (round 4; segment-bisection GCP) on a bound-active geometry
 try:
