@@ -266,3 +266,46 @@ def test_bounded_searches_return_feasible_steps(seed, n):
         x_new = x + t * d
         assert bool(jnp.all(x_new >= lo - 1e-9)), name
         assert bool(jnp.all(x_new <= hi + 1e-9)), name
+
+
+@settings(max_examples=8, deadline=None)
+@given(_seed)
+def test_per_lane_bounds_fused_lbfgsb_matches_vmap(seed):
+    """Per-lane (B, n) boxes with random mixed finite/+-inf patterns PER
+    LANE through the fused L-BFGS-B kernels (round 4): every lane must
+    stay feasible in ITS box and match its own single-instance XLA solve
+    at tolerance — the geometry class where the chunked Cauchy walk had
+    its 0*inf NaN bug (BENCH_NOTES round 2)."""
+    from optimization_solvers_tpu.ops.pallas_lbfgsb import lbfgsb_solve_fused
+    from optimization_solvers_tpu.ops.pallas_lbfgsb_tall import (
+        lbfgsb_solve_fused_tall)
+    from optimization_solvers_tpu.solvers.lbfgsb import (
+        LbfgsbConfig, lbfgsb_minimize)
+
+    B, n = 4, 6
+    rng = np.random.RandomState(seed)
+    q, _ = np.linalg.qr(rng.randn(n, n))
+    Q = jnp.asarray((q * np.logspace(0, 2, n)) @ q.T)
+
+    def fq(x, Qm):
+        return 0.5 * x @ Qm @ x
+
+    lo = jnp.asarray(np.where(rng.rand(B, n) < 0.35, -np.inf,
+                              -np.sort(rng.uniform(0.1, 2, (B, n)), axis=1)))
+    hi = jnp.asarray(np.where(rng.rand(B, n) < 0.35, np.inf,
+                              np.sort(rng.uniform(0.2, 2, (B, n)), axis=1)))
+    x0 = jnp.asarray(rng.uniform(-2, 2, (B, n)))
+    kw = dict(m=4, pgtol=1e-7, factr=10.0, max_iter=400)
+    cfg = LbfgsbConfig(**kw)
+    oracle = make_oracle(fq, data=(Q,))
+    ref = jax.vmap(lambda xi, l, u: lbfgsb_minimize(oracle, xi, l, u, cfg))(
+        x0, lo, hi)
+    for solve, tag in ((lbfgsb_solve_fused, "lane-last"),
+                       (lbfgsb_solve_fused_tall, "tall")):
+        r = solve(fq, x0, lo, hi, consts=(Q,), tile=4, interpret=True, **kw)
+        x = np.asarray(r.x)
+        assert np.isfinite(x).all(), tag
+        assert (x >= np.asarray(lo) - 1e-10).all(), tag
+        assert (x <= np.asarray(hi) + 1e-10).all(), tag
+        np.testing.assert_allclose(x, np.asarray(ref.x), atol=2e-5,
+                                   err_msg=f"{tag} seed={seed}")
