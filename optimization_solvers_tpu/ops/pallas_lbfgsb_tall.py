@@ -42,7 +42,11 @@ arithmetic for B = theta I - W M W^T SPD within a segment; breakpoint
 jumps of f1 are sign-indefinite only in degenerate tie/curvature cases).
 Where several local minima exist the kernel may select a later one; the
 parity tests cross-check trajectories against the XLA backend on the
-config-4 workload class and random bounded geometries.
+config-4 workload class and random bounded geometries.  Empirical bound
+(round 4): over 400 lanes / 100 random bound-active SPD quadratics with
+mixed finite/infinite boxes (shifted optima, cond up to 1e3), the final
+iterates agree with the sequential-walk XLA backend to 5.2e-7 in x and
+8.3e-13 in f — zero divergent solves observed.
 
 Mosaic rules followed (see ops/pallas_lbfgs.py): scalar-only loop
 carries (all evolving vectors live in VMEM scratch), float 0/1 masks,
