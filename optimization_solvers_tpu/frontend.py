@@ -268,7 +268,9 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
             # tall kernel below instead (n <= 512 keeps the small-n
             # kernel for every previously-routed shape incl. the
             # B >= 128 headline tiles)
-            fits = ((2 * cfg.m + 10) * n * tile * 4 < 100 * 2 ** 20
+            small_need = (2 * cfg.m + 10) * n * tile * 4 + sum(
+                4 * int(jnp.size(c)) for c in data)
+            fits = (small_need * 2.5 < 120 * 2 ** 20
                     and (tile >= 128 or n <= 512))
             # options the kernel does not honor keep the solve on the
             # lockstep dcsrch path (see docstring) instead of silently
@@ -297,7 +299,10 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
                     8 if B % 8 == 0 else B)
                 tall_fits = (vmem_footprint_bytes(n, cfg.m, tall_tile, data)
                              * VMEM_MARGIN < VMEM_BUDGET_BYTES)
-                if not fits and tall_fits:
+                # second choice even when the lane-last route was tried
+                # and failed its probe (mid-n shapes): the tall kernel
+                # often still fits and beats lockstep
+                if tall_fits:
                     r = _fused_lbfgsb_route(f, x0, lower, upper,
                                             tuple(data), cfg,
                                             tall_tile, tall=True)

@@ -1705,8 +1705,8 @@ def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
         i += n_mconsts
         x_out, f_out, it_out, st_out = rest[i:i + 4]
         i += 4
-        X, G, Fv, iters = rest[i:i + 4]
-        i += 4
+        X, G, Fv, iters, actm = rest[i:i + 5]
+        i += 5
         n_ls = len(lspec.scratch(n, T, dtype))
         ls_refs = list(rest[i:i + n_ls])
         i += n_ls
@@ -1739,9 +1739,18 @@ def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
             return (jnp.isfinite(Fv[...])
                     & ~mspec.converged(m_refs, X[...], G[...], Fv[...], ctx))
 
+        # end-of-body mask == next trip's entry mask (state only changes
+        # inside the body): cache it in a scratch row instead of
+        # re-evaluating the (possibly pg-norm-bearing) convergence test at
+        # body entry
+        def store_active():
+            mask = active_mask()
+            actm[...] = mask.astype(dtype)
+            return jnp.sum(mask.astype(jnp.int32)) > 0
+
         def body(carry):
             i_, _go = carry
-            active = active_mask()
+            active = actm[...] > 0.5
 
             d = mspec.direction(m_refs, X[...], G[...], Fv[...], active, ctx)
             t = lspec.run(ls_refs, X[...], G[...], Fv[...], d, active, bval,
@@ -1764,11 +1773,10 @@ def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
                             X[...], G[...], Fv[...], ctx)
             iters[...] = iters[...] + active.astype(jnp.int32)
 
-            go = jnp.sum(active_mask().astype(jnp.int32)) > 0
-            return (i_ + 1, go)
+            return (i_ + 1, store_active())
 
         lax.while_loop(lambda c: (c[0] < max_iter) & c[1], body,
-                       (jnp.int32(0), jnp.asarray(True)))
+                       (jnp.int32(0), store_active()))
 
         finite = jnp.isfinite(Fv[...])
         conv = mspec.converged(m_refs, X[...], G[...], Fv[...], ctx)
@@ -1837,6 +1845,7 @@ def _pallas_solve(f, x0, lower, upper, consts, mspec, lspec, max_iter,
         pltpu.VMEM((n, T), dtype),       # G
         pltpu.VMEM((1, T), dtype),       # Fv
         pltpu.VMEM((1, T), jnp.int32),   # iters
+        pltpu.VMEM((1, T), dtype),       # actm (cached active mask)
     ]
     scratch += [pltpu.VMEM(shape, dt)
                 for shape, dt in lspec.scratch(n, T, dtype)]

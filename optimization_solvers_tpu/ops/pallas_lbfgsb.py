@@ -61,7 +61,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
         (x_out, f_out, it_out, st_out,
          X, G, Fv, Fprev, S, Y, SYt, SSt, Dh, Lc, Sch, theta, validf,
          iters, tbr, dgc, xcp, fixedm, cvec, pvec, sc1, ls_t,
-         ls_done, abn, dvec) = rest[n_consts:]
+         ls_done, abn, dvec, actm) = rest[n_consts:]
         cvals = [r[...] for r in const_refs]
         f_local = (lambda x: f(x, *cvals)) if n_consts else f
         bvg = _batched_value_and_grad(f_local)
@@ -529,6 +529,19 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                 r_tl = r_tl + (alphas[j] - b) * S[j]
             return r_tl
 
+        # the convergence/domain mask is a pure function of solver state,
+        # which only changes inside the body — so the end-of-body mask (the
+        # loop-continue test) IS the next trip's entry mask.  Cache it in a
+        # scratch row instead of recomputing pg/factr at body entry
+        # (saves ~4 of ~112 (n, T) passes per iteration).
+        def read_active():
+            return actm[...] > 0.5
+
+        def store_active():
+            mask = active_mask()
+            actm[...] = mask.astype(dtype)
+            return jnp.sum(mask.astype(jnp.int32)) > 0
+
         def body_unbounded(carry):
             """Statically all-infinite box (VERDICT round-3 item 8): the
             interior gate's conditions hold identically — no coordinate is
@@ -538,7 +551,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             behind them are skipped at trace time (the gate measured ~12%
             of the headline kernel, BENCH_NOTES round-3 ablation)."""
             i, _go = carry
-            active = active_mask()
+            active = read_active()
             # the two-loop needs only the patched curvature diagonal
             for p in range(m):
                 Dh[p] = jnp.where(validf[p] > 0, SYt[p, p],
@@ -548,7 +561,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
 
         def body(carry):
             i, _go = carry
-            active = active_mask()
+            active = read_active()
 
             build_middle()
 
@@ -724,15 +737,14 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             G[...] = jnp.where(active, g_new, G[...])
             iters[...] = iters[...] + active.astype(jnp.int32)
 
-            go = jnp.sum(active_mask().astype(jnp.int32)) > 0
-            return (i + 1, go)
+            return (i + 1, store_active())
 
         def cond(carry):
             i, go = carry
             return (i < max_iter) & go
 
         lax.while_loop(cond, body_unbounded if unbounded else body,
-                       (jnp.int32(0), jnp.asarray(True)))
+                       (jnp.int32(0), store_active()))
 
         finite = jnp.isfinite(Fv[...])
         conv = pg_inf_norm() <= pgtol
@@ -828,6 +840,16 @@ def _lbfgsb_solve_fused_jit(
     dtype = x0.dtype
     T = tile
 
+    if vmem_limit_bytes is None and not interpret:
+        # per-program working set (X/G/S/Y + the five (n,T) GCP slabs);
+        # mid-n shapes need the compiler guardrail raised the same way the
+        # tall kernel does — small shapes (the headline) keep the default
+        # None and their existing compile-cache keys
+        need = (2 * m + 10) * n * T * 4 + sum(
+            int(jnp.size(c)) * 4 for c in consts)
+        if need * 2 > 16 * 2 ** 20:
+            vmem_limit_bytes = min(int(need * 2.5), 120 * 2 ** 20)
+
     xT = x0.T.reshape(1, n, B)
     # bounds: shared (n,) replicated across lanes, or PER-LANE (B, n)
     # boxes (a batch-axis capability the single-instance reference cannot
@@ -883,6 +905,7 @@ def _lbfgsb_solve_fused_jit(
         pltpu.VMEM((1, T), jnp.int32),   # ls_done
         pltpu.VMEM((1, T), jnp.int32),   # abn (abnormal-termination flag)
         pltpu.VMEM((n, T), dtype),       # dvec (search direction)
+        pltpu.VMEM((1, T), dtype),       # actm (cached active mask)
     ]
     x_out, f_out, it_out, st_out = pl.pallas_call(
         kernel,

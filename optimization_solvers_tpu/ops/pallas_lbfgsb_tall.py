@@ -116,7 +116,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
         const_refs = rest[:n_consts]
         (x_out, f_out, it_out, st_out,
          X, G, Fv, Fprev, S, Y, SYt, SSt, validf, theta, iters, abn,
-         scB, ls_t, ls_done) = rest[n_consts:]
+         scB, ls_t, ls_done, actm) = rest[n_consts:]
         cvals = [r[...] for r in const_refs]
         f_local = (lambda x: f(x, *cvals)) if n_consts else f
         bvg = _row_value_and_grad(f_local)
@@ -252,9 +252,19 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
 
         # ------------------------------------------------------------------
 
+        # end-of-body mask == next trip's entry mask (state only changes
+        # inside the body): cache it instead of recomputing pg/factr twice
+        def read_active():
+            return actm[...] > 0.5
+
+        def store_active():
+            mask = active_mask()
+            actm[...] = mask.astype(dtype)
+            return jnp.sum(mask.astype(jnp.int32)) > 0
+
         def body(carry):
             i_, _go = carry
-            active = active_mask()
+            active = read_active()
 
             g = G[...]
             x = X[...]
@@ -624,14 +634,13 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             G[...] = jnp.where(active, g_new, G[...])
             iters[...] = iters[...] + active.astype(jnp.int32)
 
-            go = jnp.sum(active_mask().astype(jnp.int32)) > 0
-            return (i_ + 1, go)
+            return (i_ + 1, store_active())
 
         def cond(carry):
             i_, go = carry
             return (i_ < max_iter) & go
 
-        lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(True)))
+        lax.while_loop(cond, body, (jnp.int32(0), store_active()))
 
         finite = jnp.isfinite(Fv[...])
         conv = pg_inf_norm() <= pgtol
@@ -736,6 +745,7 @@ def lbfgsb_solve_fused_tall(
         pltpu.VMEM((5, T, 1), dtype),    # scB: lo, hi, done, t_fin, dtm
         pltpu.VMEM((T, 1), dtype),       # ls_t
         pltpu.VMEM((T, 1), jnp.int32),   # ls_done
+        pltpu.VMEM((T, 1), dtype),       # actm (cached active mask)
     ]
     if vmem_limit_bytes is None and not interpret:
         need = vmem_footprint_bytes(n, m, T, consts)
