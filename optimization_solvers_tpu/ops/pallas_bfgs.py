@@ -28,10 +28,12 @@ from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _batched_value,
     _batched_value_and_grad,
+    _load_consts,
+    _pack_consts,
 )
 
 
-def _make_kernel(f, n_consts, n, T, tol, max_iter, max_iter_ls, c1, dtype,
+def _make_kernel(f, const_1d, n, T, tol, max_iter, max_iter_ls, c1, dtype,
                  row_block=16):
     eps = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
     # row-chunked B traversals keep the (rb, n, T) temporaries well under
@@ -39,13 +41,13 @@ def _make_kernel(f, n_consts, n, T, tol, max_iter, max_iter_ls, c1, dtype,
     row_starts = list(range(0, n, row_block))
 
     def kernel(x0_ref, *rest):
+        n_consts = len(const_1d)
         const_refs = rest[:n_consts]
         (x_out, f_out, it_out, st_out,
          X, G, Fv, Bm, iters, ls_t, ls_done) = rest[n_consts:]
-        cvals = [r[...] for r in const_refs]
-        f_local = (lambda x: f(x, *cvals)) if n_consts else f
-        bvg = _batched_value_and_grad(f_local)
-        bval = _batched_value(f_local)
+        cvals, caxes = _load_consts(const_refs, const_1d, T)
+        bvg = _batched_value_and_grad(f, cvals, caxes)
+        bval = _batched_value(f, cvals, caxes)
 
         X[...] = x0_ref[0]
         fv, gv = bvg(X[...])
@@ -198,13 +200,14 @@ def bfgs_solve_fused(
     T = tile
 
     xT = x0.T.reshape(1, n, B)
+    consts_p, const_1d = _pack_consts(consts)
     kernel = _make_kernel(
-        f, len(consts), n, T, tol, max_iter, max_iter_ls, c1, dtype
+        f, const_1d, n, T, tol, max_iter, max_iter_ls, c1, dtype
     )
     const_specs = [
         pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
                      memory_space=pltpu.VMEM)
-        for c in consts
+        for c in consts_p
     ]
     scratch = [
         pltpu.VMEM((n, T), dtype),       # X
@@ -238,7 +241,7 @@ def bfgs_solve_fused(
         ),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(xT, *consts)
+    )(xT, *consts_p)
 
     x_final = x_out[0].T
     f_host = (lambda x: f(x, *consts)) if consts else f

@@ -57,14 +57,18 @@ from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _batched_value,
     _batched_value_and_grad,
+    _load_consts,
+    _pack_consts,
 )
 
 
-def _batched_hessian(f: Callable):
+def _batched_hessian(f: Callable, cvals=(), caxes=()):
     """(n, T) -> (n, n, T) per-lane dense Hessian (forward-over-reverse AD,
-    traced straight into the kernel for the fused Newton family)."""
+    traced straight into the kernel for the fused Newton family).
+    ``cvals``/``caxes`` as in ``_batched_value_and_grad``."""
     h = jax.hessian(f)
-    return jax.vmap(h, in_axes=1, out_axes=2)
+    bh = jax.vmap(h, in_axes=(1, *caxes), out_axes=2)
+    return lambda X: bh(X, *cvals)
 
 
 class _Ctx:
@@ -1691,8 +1695,10 @@ def fused_supported(method, line_search) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
+def _make_kernel(f, const_1d, n_mconsts, mspec, lspec, n, T, max_iter,
                  max_iter_ls, dtype, bounded):
+    n_consts = len(const_1d)
+
     def kernel(x0_ref, *rest):
         i = 0
         lo_ref = up_ref = None
@@ -1712,10 +1718,9 @@ def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
         i += n_ls
         m_refs = list(rest[i:])
 
-        cvals = [r[...] for r in const_refs]
-        f_local = (lambda x: f(x, *cvals)) if n_consts else f
-        bvg = _batched_value_and_grad(f_local)
-        bval = _batched_value(f_local)
+        cvals, caxes = _load_consts(const_refs, const_1d, T)
+        bvg = _batched_value_and_grad(f, cvals, caxes)
+        bval = _batched_value(f, cvals, caxes)
 
         ctx = _Ctx(n, T, dtype,
                    lo_ref[0] if bounded else None,
@@ -1725,7 +1730,7 @@ def _make_kernel(f, n_consts, n_mconsts, mspec, lspec, n, T, max_iter,
         ctx.bvg = bvg   # (n, T) -> ((1, T), (n, T)); Wolfe-family searches
                         # need trial-point gradients, not just values
         if getattr(mspec, "needs_hessian", False):
-            ctx.bhess = _batched_hessian(f_local)
+            ctx.bhess = _batched_hessian(f, cvals, caxes)
 
         X[...] = ctx.clip(x0_ref[0]) if mspec.bounded else x0_ref[0]
         fv, gv = bvg(X[...])
@@ -1830,14 +1835,15 @@ def _pallas_solve(f, x0, lower, upper, consts, mspec, lspec, max_iter,
                                  memory_space=pltpu.VMEM)
         inputs += [loT, upT]
         in_specs += [bspec, bspec]
-    for c in tuple(consts) + mconsts:
+    consts_p, const_1d = _pack_consts(consts)
+    for c in consts_p + mconsts:
         inputs.append(c)
         in_specs.append(
             pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
                          memory_space=pltpu.VMEM))
 
     kernel = _make_kernel(
-        f, len(consts), len(mconsts), mspec, lspec, n, T, max_iter,
+        f, const_1d, len(mconsts), mspec, lspec, n, T, max_iter,
         max_iter_ls, dtype, bounded,
     )
     scratch = [

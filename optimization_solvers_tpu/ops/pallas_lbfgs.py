@@ -21,7 +21,14 @@ Mosaic-specific structure (learned the hard way):
     legalize ("failed to legalize scf.for"), and a SELECT between i1
     vectors fails with "Unsupported target bitwidth for truncation" —
     keep evolving masks as float 0/1 scratch rows and select between
-    float encodings, casting to bool only for immediate predicates.
+    float encodings, casting to bool only for immediate predicates;
+  * 1-D problem-data operands are LANE-resident, but the per-instance
+    objective runs along SUBLANES in this layout — closing over a (k,)
+    const forces a lane->sublane relayout at every use whose register
+    pressure scales with the tile (measured: 127 MB of register spill
+    slots at tile 512 vs ~2.5 MB const-free).  Ship 1-D consts as (k, 1)
+    operands, broadcast once to (k, T), and vmap them per lane
+    (:func:`_pack_consts` / :func:`_load_consts`).
 
 The oracle is any pure-jnp scalar objective; its batched value-and-grad is
 built with ``jax.vmap(jax.value_and_grad(f))`` and traced straight into
@@ -41,42 +48,83 @@ from optimization_solvers_tpu.core.types import SolveResult, Status
 from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 
 
-def _batched_value_and_grad(f: Callable):
-    """(n, T) -> ((1, T), (n, T)) value-and-grad over the lane axis."""
+def _batched_value_and_grad(f: Callable, cvals=(), caxes=()):
+    """(n, T) -> ((1, T), (n, T)) value-and-grad over the lane axis.
+
+    ``cvals``/``caxes`` carry problem-data arrays from :func:`_load_consts`:
+    axis-1 entries are (k, T) slabs vmapped per lane (the objective sees the
+    per-instance (k,) slice), ``None`` entries are closed over whole."""
     vg = jax.value_and_grad(f)
-    bvg = jax.vmap(vg, in_axes=1, out_axes=(0, 1))
+    bvg = jax.vmap(vg, in_axes=(1, *caxes), out_axes=(0, 1))
 
     def wrapped(X):
-        fv, gv = bvg(X)
+        fv, gv = bvg(X, *cvals)
         return fv[None, :], gv
 
     return wrapped
 
 
-def _batched_value(f: Callable):
+def _batched_value(f: Callable, cvals=(), caxes=()):
     """(n, T) -> (1, T) value-only over the lane axis (cheap line-search
     trials: no gradient work)."""
-    bf = jax.vmap(f, in_axes=1, out_axes=0)
+    bf = jax.vmap(f, in_axes=(1, *caxes), out_axes=0)
 
     def wrapped(X):
-        return bf(X)[None, :]
+        return bf(X, *cvals)[None, :]
 
     return wrapped
 
 
-def _make_kernel(f, n_consts, n, m, T, tol, max_iter, max_iter_ls, c1, c2,
+def _pack_consts(consts):
+    """Wrapper-side packing of problem-data arrays for a LANE-LAST kernel.
+
+    1-D consts are shipped as (k, 1) operands so they enter VMEM
+    sublane-resident.  A (k,) operand lives on the LANE axis, but inside
+    the lane-last kernel the per-instance objective runs along SUBLANES —
+    every use of a lane-resident const then forces a Mosaic relayout whose
+    register pressure grows with the tile (measured: 127 MB of register
+    spill slots at tile 512, vs ~2.5 MB const-free — BENCH_NOTES round 4).
+    Returns ``(packed, const_1d)``; ``const_1d`` must be threaded to the
+    kernel so :func:`_load_consts` can undo the packing unambiguously
+    (a genuinely-2-D (k, 1) const is NOT repacked)."""
+    packed = tuple(
+        c[:, None] if jnp.ndim(c) == 1 else c for c in consts)
+    const_1d = tuple(jnp.ndim(c) == 1 for c in consts)
+    return packed, const_1d
+
+
+def _load_consts(const_refs, const_1d, T):
+    """Kernel-side unpacking for :func:`_pack_consts`.
+
+    Originally-1-D consts (shipped (k, 1)) are broadcast once to a (k, T)
+    sublane-resident slab and VMAPPED per lane — the objective still sees
+    its original (k,) argument — instead of closed over lane-resident.
+    Returns ``(cvals, caxes)`` for the ``_batched_*`` helpers."""
+    cvals, caxes = [], []
+    for r, was_1d in zip(const_refs, const_1d):
+        v = r[...]
+        if was_1d:
+            v = jnp.broadcast_to(v, (v.shape[0], T))
+            caxes.append(1)
+        else:
+            caxes.append(None)
+        cvals.append(v)
+    return tuple(cvals), tuple(caxes)
+
+
+def _make_kernel(f, const_1d, n, m, T, tol, max_iter, max_iter_ls, c1, c2,
                  dtype):
     curvature_eps = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+    n_consts = len(const_1d)
 
     def kernel(x0_ref, *rest):
         const_refs = rest[:n_consts]
         (x_out, f_out, it_out, st_out,
          X, G, Fv, S, Y, rho, validf, gamma, iters, ls_t, ls_done) = \
             rest[n_consts:]
-        cvals = [r[...] for r in const_refs]
-        f_local = (lambda x: f(x, *cvals)) if n_consts else f
-        bvg = _batched_value_and_grad(f_local)
-        bval = _batched_value(f_local)
+        cvals, caxes = _load_consts(const_refs, const_1d, T)
+        bvg = _batched_value_and_grad(f, cvals, caxes)
+        bval = _batched_value(f, cvals, caxes)
         # ---- init ---------------------------------------------------------
         X[...] = x0_ref[0]
         fv, gv = bvg(X[...])
@@ -239,13 +287,14 @@ def lbfgs_solve_fused(
 
     xT = x0.T.reshape(1, n, B)  # lane-last layout
 
+    consts_p, const_1d = _pack_consts(consts)
     kernel = _make_kernel(
-        f, len(consts), n, m, T, tol, max_iter, max_iter_ls, c1, c2, dtype
+        f, const_1d, n, m, T, tol, max_iter, max_iter_ls, c1, c2, dtype
     )
     const_specs = [
         pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
                      memory_space=pltpu.VMEM)
-        for c in consts
+        for c in consts_p
     ]
     scratch = [
         pltpu.VMEM((n, T), dtype),       # X
@@ -283,7 +332,7 @@ def lbfgs_solve_fused(
         ),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(xT, *consts)
+    )(xT, *consts_p)
 
     x_final = x_out[0].T                                         # (B, n)
     # final gradient for the result object (cheap epilogue outside the kernel)

@@ -46,15 +46,18 @@ from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _batched_value,
     _batched_value_and_grad,
+    _load_consts,
+    _pack_consts,
 )
 
 
-def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
+def _make_kernel(f, const_1d, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                  c1, dtype, unbounded=False):
     eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
     f_rtol = factr * eps_mach
     curvature_eps = eps_mach
     inf = float("inf")  # python scalar: a jnp constant here would be a captured tracer
+    n_consts = len(const_1d)
 
     def kernel(x0_ref, lo_ref, up_ref, *rest):
         const_refs = rest[:n_consts]
@@ -62,10 +65,9 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
          X, G, Fv, Fprev, S, Y, SYt, SSt, Dh, Lc, Sch, theta, validf,
          iters, tbr, dgc, xcp, fixedm, cvec, pvec, sc1, ls_t,
          ls_done, abn, dvec, actm) = rest[n_consts:]
-        cvals = [r[...] for r in const_refs]
-        f_local = (lambda x: f(x, *cvals)) if n_consts else f
-        bvg = _batched_value_and_grad(f_local)
-        bval = _batched_value(f_local)
+        cvals, caxes = _load_consts(const_refs, const_1d, T)
+        bvg = _batched_value_and_grad(f, cvals, caxes)
+        bval = _batched_value(f, cvals, caxes)
         lo = lo_ref[0]                                           # (n, T)
         up = up_ref[0]
 
@@ -870,14 +872,15 @@ def _lbfgsb_solve_fused_jit(
         bspec = pl.BlockSpec((1, n, T), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
 
+    consts_p, const_1d = _pack_consts(consts)
     kernel = _make_kernel(
-        f, len(consts), n, m, T, pgtol, factr, max_iter, max_iter_ls, c1,
+        f, const_1d, n, m, T, pgtol, factr, max_iter, max_iter_ls, c1,
         dtype, unbounded=unbounded
     )
     const_specs = [
         pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
                      memory_space=pltpu.VMEM)
-        for c in consts
+        for c in consts_p
     ]
     scratch = [
         pltpu.VMEM((n, T), dtype),       # X
@@ -944,7 +947,7 @@ def _lbfgsb_solve_fused_jit(
                 )
             }
         ),
-    )(xT, loT, upT, *consts)
+    )(xT, loT, upT, *consts_p)
 
     x_final = x_out[0].T
     f_host = (lambda x: f(x, *consts)) if consts else f

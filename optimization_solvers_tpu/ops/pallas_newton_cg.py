@@ -50,21 +50,24 @@ from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _batched_value,
     _batched_value_and_grad,
+    _load_consts,
+    _pack_consts,
 )
 
 
-def _batched_hvp(f: Callable):
+def _batched_hvp(f: Callable, cvals=(), caxes=()):
     """((n, T), (n, T)) -> (n, T) Hessian-vector product over the lane
-    axis: forward-over-reverse, ~2 gradient evaluations per call."""
-    g = jax.grad(f)
+    axis: forward-over-reverse, ~2 gradient evaluations per call.
+    ``cvals``/``caxes`` as in ``_batched_value_and_grad``."""
 
-    def hvp(x, v):
-        return jax.jvp(g, (x,), (v,))[1]
+    def hvp(x, v, *cs):
+        return jax.jvp(lambda xx: jax.grad(f)(xx, *cs), (x,), (v,))[1]
 
-    return jax.vmap(hvp, in_axes=(1, 1), out_axes=1)
+    bh = jax.vmap(hvp, in_axes=(1, 1, *caxes), out_axes=1)
+    return lambda X, V: bh(X, V, *cvals)
 
 
-def _make_kernel(f, n_consts, n, T, pgtol, factr, max_iter, cg_max,
+def _make_kernel(f, const_1d, n, T, pgtol, factr, max_iter, cg_max,
                  max_iter_ls, c1, dtype):
     # must match the XLA twin (solvers/newton_cg.py) exactly: both sides
     # gate Steihaug curvature and the factr stall test on finfo(dtype).eps
@@ -73,15 +76,15 @@ def _make_kernel(f, n_consts, n, T, pgtol, factr, max_iter, cg_max,
     inf = float("inf")
 
     def kernel(x0_ref, lo_ref, up_ref, *rest):
+        n_consts = len(const_1d)
         const_refs = rest[:n_consts]
         (x_out, f_out, it_out, st_out,
          X, G, Fv, Fprev, D, R, P, sc, iters, ls_t, ls_done) = \
             rest[n_consts:]
-        cvals = [r[...] for r in const_refs]
-        f_local = (lambda x: f(x, *cvals)) if n_consts else f
-        bvg = _batched_value_and_grad(f_local)
-        bval = _batched_value(f_local)
-        bhvp = _batched_hvp(f_local)
+        cvals, caxes = _load_consts(const_refs, const_1d, T)
+        bvg = _batched_value_and_grad(f, cvals, caxes)
+        bval = _batched_value(f, cvals, caxes)
+        bhvp = _batched_hvp(f, cvals, caxes)
         lo = lo_ref[0]                                            # (n, T)
         up = up_ref[0]
 
@@ -311,14 +314,15 @@ def newton_cg_solve_fused(
     loT = jnp.broadcast_to(lower.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
     upT = jnp.broadcast_to(upper.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
 
+    consts_p, const_1d = _pack_consts(consts)
     kernel = _make_kernel(
-        f, len(consts), n, T, pgtol, factr, max_iter, cg_max, max_iter_ls,
+        f, const_1d, n, T, pgtol, factr, max_iter, cg_max, max_iter_ls,
         c1, dtype
     )
     const_specs = [
         pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
                      memory_space=pltpu.VMEM)
-        for c in consts
+        for c in consts_p
     ]
     scratch = [
         pltpu.VMEM((n, T), dtype),       # X
@@ -369,7 +373,7 @@ def newton_cg_solve_fused(
                 )
             }
         ),
-    )(xT, loT, upT, *consts)
+    )(xT, loT, upT, *consts_p)
 
     x_final = x_out[0].T[:B]
     f_host = (lambda x: f(x, *consts)) if consts else f

@@ -26,19 +26,21 @@ from optimization_solvers_tpu.core.numerics import batched_pg_inf_norm
 from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _batched_value,
     _batched_value_and_grad,
+    _load_consts,
+    _pack_consts,
 )
 
 
-def _make_kernel(f, n_consts, n, T, tol, lam_min, lam_max, gll_m, c1,
+def _make_kernel(f, const_1d, n, T, tol, lam_min, lam_max, gll_m, c1,
                  max_iter, max_iter_ls, dtype):
     def kernel(x0_ref, lo_ref, up_ref, *rest):
+        n_consts = len(const_1d)
         const_refs = rest[:n_consts]
         (x_out, f_out, it_out, st_out,
          X, G, Fv, lam, fhist, iters, ls_t, ls_done) = rest[n_consts:]
-        cvals = [r[...] for r in const_refs]
-        f_local = (lambda x: f(x, *cvals)) if n_consts else f
-        bvg = _batched_value_and_grad(f_local)
-        bval = _batched_value(f_local)
+        cvals, caxes = _load_consts(const_refs, const_1d, T)
+        bvg = _batched_value_and_grad(f, cvals, caxes)
+        bval = _batched_value(f, cvals, caxes)
         lo = lo_ref[0]
         up = up_ref[0]
 
@@ -170,14 +172,15 @@ def spg_solve_fused(
     loT = jnp.broadcast_to(lower.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
     upT = jnp.broadcast_to(upper.astype(dtype)[:, None], (n, T)).reshape(1, n, T)
 
+    consts_p, const_1d = _pack_consts(consts)
     kernel = _make_kernel(
-        f, len(consts), n, T, tol, lam_min, lam_max, gll_m, c1, max_iter,
+        f, const_1d, n, T, tol, lam_min, lam_max, gll_m, c1, max_iter,
         max_iter_ls, dtype,
     )
     const_specs = [
         pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
                      memory_space=pltpu.VMEM)
-        for c in consts
+        for c in consts_p
     ]
     scratch = [
         pltpu.VMEM((n, T), dtype),       # X
@@ -216,7 +219,7 @@ def spg_solve_fused(
         ),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(xT, loT, upT, *consts)
+    )(xT, loT, upT, *consts_p)
 
     x_final = x_out[0].T
     f_host = (lambda x: f(x, *consts)) if consts else f

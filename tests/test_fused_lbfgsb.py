@@ -117,6 +117,31 @@ def test_fused_lbfgsb_mixed_infinite_bounds():
     np.testing.assert_allclose(np.asarray(res.x), expect, atol=1e-4)
 
 
+def test_fused_lbfgsb_column_const_not_repacked():
+    """A genuinely-2-D (k, 1) const must reach the objective with its
+    original shape: the consts packing ships 1-D consts as (k, 1)
+    operands (sublane-resident — the lane-resident layout blew Mosaic's
+    register allocator, BENCH_NOTES round 4), and ``const_1d`` is what
+    keeps a user's real (k, 1) array from being mistaken for a packed
+    1-D one and silently squeezed."""
+    n = 6
+    rng = np.random.RandomState(5)
+    d_col = jnp.asarray(rng.uniform(1.0, 3.0, (n, 1)))   # (k, 1), 2-D
+    t_vec = jnp.asarray(rng.uniform(-0.5, 0.5, n))       # (k,), packed
+
+    def f(x, dcol, tv):
+        assert dcol.ndim == 2 and tv.ndim == 1           # trace-time shapes
+        return 0.5 * jnp.sum(dcol[:, 0] * (x - tv) ** 2)
+
+    x0 = jnp.asarray(rng.uniform(-1.0, 1.0, (4, n)))
+    res = lbfgsb_solve_fused(
+        f, x0, jnp.full(n, -2.0), jnp.full(n, 2.0), consts=(d_col, t_vec),
+        m=4, pgtol=1e-8, factr=10.0, max_iter=200, tile=4, interpret=True)
+    assert int((res.status == Status.CONVERGED).sum()) == 4
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.tile(np.asarray(t_vec), (4, 1)), atol=1e-6)
+
+
 def test_fused_lbfgsb_statically_unbounded_body(monkeypatch):
     """Every bound infinite and concrete at call time takes the dedicated
     unbounded body (gate + middle factorization skipped at trace time,

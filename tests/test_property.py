@@ -268,6 +268,16 @@ def test_bounded_searches_return_feasible_steps(seed, n):
         assert bool(jnp.all(x_new <= hi + 1e-9)), name
 
 
+# module-scope objective: the fused wrappers jit with ``f`` STATIC, so an
+# objective defined inside the test body would be a fresh function object
+# per hypothesis example — a full recompile of both interpret-mode kernels
+# per example, which is exactly the compile pressure that segfaults the
+# jaxlib-0.9.0 XLA-CPU compiler in a long-lived xdist worker (the suite's
+# one known flake; CLAUDE.md "Commands")
+def _fq_perlane(x, Qm):
+    return 0.5 * x @ Qm @ x
+
+
 @settings(max_examples=8, deadline=None)
 @given(_seed)
 def test_per_lane_bounds_fused_lbfgsb_matches_vmap(seed):
@@ -287,9 +297,7 @@ def test_per_lane_bounds_fused_lbfgsb_matches_vmap(seed):
     q, _ = np.linalg.qr(rng.randn(n, n))
     Q = jnp.asarray((q * np.logspace(0, 2, n)) @ q.T)
 
-    def fq(x, Qm):
-        return 0.5 * x @ Qm @ x
-
+    fq = _fq_perlane
     lo = jnp.asarray(np.where(rng.rand(B, n) < 0.35, -np.inf,
                               -np.sort(rng.uniform(0.1, 2, (B, n)), axis=1)))
     hi = jnp.asarray(np.where(rng.rand(B, n) < 0.35, np.inf,
