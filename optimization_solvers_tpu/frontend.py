@@ -260,17 +260,22 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
 
             B, n = x0.shape
             tile = 512 if B % 512 == 0 else (256 if B >= 256 else B)
-            # whole-solve VMEM residency: histories + slabs are
-            # ~(2m + 10) * n * tile * 4 bytes; past ~100 MB the kernel
-            # cannot compile.  The lane-last kernel is also the WRONG
+            # whole-solve VMEM residency: past ~100 MB the kernel cannot
+            # compile (fit check shares the kernel's own footprint helper
+            # — the two copies of the formula desynced once, round-4
+            # review finding).  The lane-last kernel is also the WRONG
             # layout for large n: its GCP walk is O(segments * n) and a
             # small batch tile wastes lanes — send that class to the
             # tall kernel below instead (n <= 512 keeps the small-n
             # kernel for every previously-routed shape incl. the
             # B >= 128 headline tiles)
-            small_need = (2 * cfg.m + 10) * n * tile * 4 + sum(
-                4 * int(jnp.size(c)) for c in data)
-            fits = (small_need * 2.5 < 120 * 2 ** 20
+            from optimization_solvers_tpu.ops.pallas_lbfgsb import (
+                vmem_footprint_bytes as _lane_last_footprint)
+            from optimization_solvers_tpu.ops.pallas_lbfgsb_tall import (
+                VMEM_BUDGET_BYTES, VMEM_MARGIN, vmem_footprint_bytes)
+
+            small_need = _lane_last_footprint(n, cfg.m, tile, data)
+            fits = (small_need * VMEM_MARGIN < VMEM_BUDGET_BYTES
                     and (tile >= 128 or n <= 512))
             # options the kernel does not honor keep the solve on the
             # lockstep dcsrch path (see docstring) instead of silently
@@ -291,10 +296,6 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
                 # tall-layout kernel (instances on sublanes, GCP by
                 # segment bisection) can — measured ~3.9x the lockstep
                 # XLA path on the 10k-dim bounded log-sum-exp (round 4)
-                from optimization_solvers_tpu.ops.pallas_lbfgsb_tall \
-                    import (VMEM_BUDGET_BYTES, VMEM_MARGIN,
-                            vmem_footprint_bytes)
-
                 tall_tile = 16 if B % 16 == 0 and B >= 16 else (
                     8 if B % 8 == 0 else B)
                 tall_fits = (vmem_footprint_bytes(n, cfg.m, tall_tile, data)

@@ -1897,7 +1897,8 @@ def fused_minimize(
     line_search,
     f: Callable,
     x0: jax.Array,                 # (B, n)
-    lower: jax.Array = None,       # (n,) for bounded methods
+    lower: jax.Array = None,       # (n,) shared or (B, n) per-lane;
+                                   # bounded methods only
     upper: jax.Array = None,
     consts: tuple = (),            # problem-data arrays: f(x, *consts)
     *,

@@ -49,6 +49,23 @@ from optimization_solvers_tpu.ops.pallas_lbfgs import (
     _load_consts,
     _pack_consts,
 )
+from optimization_solvers_tpu.ops.pallas_lbfgsb_tall import (
+    VMEM_BUDGET_BYTES,
+    VMEM_MARGIN,
+)
+
+
+def vmem_footprint_bytes(n: int, m: int, tile: int, consts=()) -> int:
+    """Estimated per-program VMEM working set of the LANE-LAST kernel:
+    X/G + the (m, n, T) histories + the five (n, T) GCP slabs + consts.
+    Single source of truth for the kernel's own vmem_limit raise and the
+    frontend router's fit check — keeping the two copies of this formula
+    in sync was a round-4 review finding (same treatment as the tall
+    kernel's helper)."""
+    import numpy as _np
+
+    return (2 * m + 10) * n * tile * 4 + sum(
+        int(_np.size(c)) * 4 for c in consts)
 
 
 def _make_kernel(f, const_1d, n, m, T, pgtol, factr, max_iter, max_iter_ls,
@@ -778,8 +795,8 @@ def _make_kernel(f, const_1d, n, m, T, pgtol, factr, max_iter, max_iter_ls,
 def lbfgsb_solve_fused(
     f: Callable,
     x0: jax.Array,                  # (B, n)
-    lower: jax.Array,               # (n,)
-    upper: jax.Array,               # (n,)
+    lower: jax.Array,               # (n,) shared or (B, n) per-lane
+    upper: jax.Array,               # (n,) shared or (B, n) per-lane
     consts: tuple = (),             # problem-data arrays: f(x, *consts)
     **kwargs,
 ) -> SolveResult:
@@ -819,8 +836,8 @@ def lbfgsb_solve_fused(
 def _lbfgsb_solve_fused_jit(
     f: Callable,
     x0: jax.Array,                  # (B, n)
-    lower: jax.Array,               # (n,)
-    upper: jax.Array,               # (n,)
+    lower: jax.Array,               # (n,) shared or (B, n) per-lane
+    upper: jax.Array,               # (n,) shared or (B, n) per-lane
     consts: tuple = (),             # problem-data arrays: f(x, *consts)
     *,
     m: int = 5,
@@ -846,11 +863,14 @@ def _lbfgsb_solve_fused_jit(
         # per-program working set (X/G/S/Y + the five (n,T) GCP slabs);
         # mid-n shapes need the compiler guardrail raised the same way the
         # tall kernel does — small shapes (the headline) keep the default
-        # None and their existing compile-cache keys
-        need = (2 * m + 10) * n * T * 4 + sum(
-            int(jnp.size(c)) * 4 for c in consts)
-        if need * 2 > 16 * 2 ** 20:
-            vmem_limit_bytes = min(int(need * 2.5), 120 * 2 ** 20)
+        # None and their existing compile-cache keys.  The raise threshold
+        # uses the SAME x2.5 margin the sizing does (a x2 threshold left
+        # shapes in the (6.4, 8] MB band on the 16 MB default although the
+        # margin model predicts up to 20 MB — round-4 review finding).
+        need = vmem_footprint_bytes(n, m, T, consts)
+        if need * VMEM_MARGIN > 16 * 2 ** 20:
+            vmem_limit_bytes = min(
+                int(need * VMEM_MARGIN), VMEM_BUDGET_BYTES)
 
     xT = x0.T.reshape(1, n, B)
     # bounds: shared (n,) replicated across lanes, or PER-LANE (B, n)
@@ -968,8 +988,8 @@ _SCALED_WRAPPERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 def lbfgsb_solve_fused_scaled(
     f: Callable,
     x0: jax.Array,                  # (B, n)
-    lower: jax.Array,               # (n,)
-    upper: jax.Array,               # (n,)
+    lower: jax.Array,               # (n,) shared or (B, n) per-lane
+    upper: jax.Array,               # (n,) shared or (B, n) per-lane
     diag: jax.Array,                # (n,) positive preconditioner diagonal
     consts: tuple = (),
     **fused_kwargs,

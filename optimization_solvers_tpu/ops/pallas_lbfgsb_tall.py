@@ -675,8 +675,8 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
 def lbfgsb_solve_fused_tall(
     f: Callable,
     x0: jax.Array,                  # (B, n)
-    lower: jax.Array,               # (n,)
-    upper: jax.Array,               # (n,)
+    lower: jax.Array,               # (n,) shared or (B, n) per-lane
+    upper: jax.Array,               # (n,) shared or (B, n) per-lane
     consts: tuple = (),             # problem-data arrays: f(x, *consts)
     *,
     m: int = 10,

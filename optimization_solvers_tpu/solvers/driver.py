@@ -276,7 +276,11 @@ def _probe_fused(method, line_search, raw_f, x0, bounds, consts, kwargs):
 
     pkey = (
         type(method), method, type(line_search), line_search,
-        jnp.shape(x0), str(jnp.result_type(x0)), bounds is not None,
+        jnp.shape(x0), str(jnp.result_type(x0)),
+        # shared (n,) and per-lane (B, n) boxes lower to DIFFERENT kernels
+        # (different bound BlockSpec index maps) — the verdicts must not
+        # collide (same fix as the dedicated lbfgsb route's probe key)
+        None if bounds is None else int(jnp.ndim(bounds[0])),
         kwargs.get("max_iter", 1000), kwargs.get("max_iter_ls", 100),
         # consts shapes/dtypes are part of the kernel: the same objective
         # with differently-shaped problem data is a different compile and
@@ -320,7 +324,10 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
     raw_f = getattr(oracle, "raw_f", None)
     if raw_f is None or not pallas_driver.fused_supported(method, line_search):
         return None
-    key = (type(method), type(line_search))
+    # keyed like the probe: a per-lane-boxes compile failure must not
+    # strand the shared-bounds (or unbounded) variants on lockstep
+    key = (type(method), type(line_search),
+           None if bounds is None else int(jnp.ndim(bounds[0])))
     try:
         if key in _FUSED_UNSUPPORTED.get(raw_f, ()):
             return None
