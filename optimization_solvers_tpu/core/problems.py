@@ -82,21 +82,31 @@ def shifted_quadratic_2d():
 
 
 def quadratic_form(matrix: jax.Array):
-    """``f = x^T M x`` (``examples/quadratic.rs:12``)."""
+    """``f = x^T M x`` (``examples/quadratic.rs:12``).
+
+    Written ``sum(x * (M x))`` rather than ``x @ (M x)``: under the fused
+    kernels' per-lane vmap the final contraction of the ``@`` form becomes
+    a both-operands-batched ``dot_general``, which this toolchain's Mosaic
+    remote-compile cannot parse (graceful lockstep fallback, but ~90x
+    slower) — the sum-mul form lowers batch-free and fuses
+    (hardware-verified, BENCH_NOTES round 4)."""
 
     def f(x):
-        return x @ (matrix @ x)
+        return jnp.sum(x * (matrix @ x))
 
     return f
 
 
 def quadratic(Q: jax.Array, b: jax.Array | None = None):
-    """General convex quadratic ``f = 0.5 x^T Q x + b^T x``."""
+    """General convex quadratic ``f = 0.5 x^T Q x + b^T x``.
+
+    Inner products spelled ``sum(a * b)`` so the objective fuses when used
+    with the problem-data seam (see :func:`quadratic_form`)."""
 
     def f(x):
-        v = 0.5 * x @ (Q @ x)
+        v = 0.5 * jnp.sum(x * (Q @ x))
         if b is not None:
-            v = v + b @ x
+            v = v + jnp.sum(b * x)
         return v
 
     return f

@@ -195,6 +195,14 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     three MAX_ITER anchor rows all CONVERGE at 1e-4).  An explicit ``tol``
     always wins.
 
+    Objective style for the fused TPU path: spell per-instance inner
+    products ``jnp.sum(a * b)`` rather than ``a @ b``.  Under the kernel's
+    per-lane vmap the ``@`` form becomes a both-operands-batched
+    ``dot_general`` that this toolchain's Mosaic remote-compile cannot
+    parse — the solve still completes (the compile probe catches it and
+    falls back to the lockstep XLA path) but ~90x slower.  Plain
+    matrix-vector products against problem data (``A @ x``) fuse fine.
+
     Batched ``method="lbfgsb"`` also accepts PER-LANE boxes — ``bounds``
     arrays of shape (B, n) — each instance solving within its own box
     (fused kernels take them as tiled operands; the XLA fallback vmaps).

@@ -1722,6 +1722,14 @@ def _make_kernel(f, const_1d, n_mconsts, mspec, lspec, n, T, max_iter,
         bvg = _batched_value_and_grad(f, cvals, caxes)
         bval = _batched_value(f, cvals, caxes)
 
+        # the round-1 "replicated-layout accumulator" lowering failure that
+        # forced halving-tree reductions came from LANE-resident consts.
+        # With 1-D consts shipped (k, 1) (sublane-resident, _pack_consts)
+        # plain reductions DO lower and run again — but a round-4 probe
+        # measured their Mosaic compile at ~10x the tree's (~2-3 min vs
+        # ~13 s per consts combo through the remote-compile tunnel), for
+        # no measurable runtime difference, so the tree stays for every
+        # consts-bearing kernel
         ctx = _Ctx(n, T, dtype,
                    lo_ref[0] if bounded else None,
                    up_ref[0] if bounded else None,

@@ -1000,24 +1000,18 @@ def lbfgsb_solve_fused_scaled(
     equal ``theta*diag(d)`` in the original coordinates), applied around the
     whole-solve VMEM kernel.  ``pgtol``/``factr`` act in the scaled metric.
 
-    Real-TPU notes (validated on v5e): consts-bearing kernels take the
-    tree-sum pair-update reduction automatically (the plain lane reduction
-    hits a Mosaic lowering gap, see ``_make_kernel``), and this wrapper
-    defaults ``vmem_limit_bytes`` to 64 MB because the consts path inflates
-    the compiler's scoped-VMEM accounting ~3x past the 16 MB default (v5e
-    has 128 MB physical VMEM).  Override either via ``fused_kwargs``."""
+    Real-TPU note: the scale rides the kernel's problem-data (consts)
+    path as a plain 1-D ``(n,)`` array, which ``_pack_consts`` ships
+    sublane-resident and vmaps per lane — the wrapper body divides by its
+    per-instance ``(n,)`` slice directly.  (Historical: before the
+    consts layout fix this needed a ``(1, n)`` block plus a ``+ 0*z``
+    materialization hack and a 64 MB vmem default — BENCH_NOTES rounds
+    1 and 4.)"""
     s = jnp.sqrt(jnp.asarray(diag, x0.dtype))
 
-    # the scale rides the kernel's problem-data (consts) path: pallas
-    # kernels cannot close over traced arrays.  Shipped as a (1, n) block,
-    # and materialized to the iterate's batched layout via `+ 0*z` before
-    # the division: an unbatched const broadcast into the per-lane oracle
-    # produces a replicated ("implicit dimension") Mosaic layout that the
-    # downstream pair-update reduction cannot lower on real TPU (interpret
-    # mode accepts it).  The wrapper is memoized on f: lbfgsb_solve_fused
-    # jit-caches on the static objective's identity, and a fresh closure
-    # per call would force a minutes-long retrace+Mosaic lowering every
-    # call.
+    # The wrapper is memoized on f: lbfgsb_solve_fused jit-caches on the
+    # static objective's identity, and a fresh closure per call would
+    # force a minutes-long retrace+Mosaic lowering every call.
     try:
         fz = _SCALED_WRAPPERS.get(f)
     except TypeError:       # non-weakref-able callable: fresh wrapper per call
@@ -1030,17 +1024,16 @@ def lbfgsb_solve_fused_scaled(
             fref = weakref.ref(f)
 
             def fz(z, s_, *cs):
-                return fref()(z / (s_[0] + 0.0 * z), *cs)
+                return fref()(z / s_, *cs)
 
             _SCALED_WRAPPERS[f] = fz
         except TypeError:
 
             def fz(z, s_, *cs, _f=f):
-                return _f(z / (s_[0] + 0.0 * z), *cs)
+                return _f(z / s_, *cs)
 
-    fused_kwargs.setdefault("vmem_limit_bytes", 64 * 1024 * 1024)
     r = lbfgsb_solve_fused(
-        fz, x0 * s[None, :], lower * s, upper * s, (s[None, :], *consts),
+        fz, x0 * s[None, :], lower * s, upper * s, (s, *consts),
         **fused_kwargs
     )
     # pg_norm stays in the SCALED metric (the metric pgtol acts in)

@@ -327,7 +327,9 @@ def test_fused_matches_unfused_random_problems():
         Q = jnp.asarray((q * np.logspace(0, 2, N)) @ q.T)
 
         def fq(x, Qm):
-            return 0.5 * x @ Qm @ x
+            # sum-mul: the @-form's both-batched dot cannot fuse on
+            # this toolchain (problems.quadratic_form docstring)
+            return 0.5 * jnp.sum(x * (Qm @ x))
 
         lo = jnp.asarray(np.where(rng.rand(N) < 0.3, -np.inf,
                                   np.sort(rng.uniform(-2, 0, N))))

@@ -63,7 +63,7 @@ def test_tall_mixed_infinite_bounds_matches_xla():
     Q = jnp.asarray((q * np.logspace(0, 2, n)) @ q.T)
 
     def fq(x, Qm):
-        return 0.5 * x @ Qm @ x
+        return 0.5 * jnp.sum(x * (Qm @ x))
 
     lo = jnp.asarray(np.where(rng.rand(n) < 0.3, -np.inf,
                               np.sort(rng.uniform(-2, 0, n))))

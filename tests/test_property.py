@@ -275,7 +275,7 @@ def test_bounded_searches_return_feasible_steps(seed, n):
 # jaxlib-0.9.0 XLA-CPU compiler in a long-lived xdist worker (the suite's
 # one known flake; CLAUDE.md "Commands")
 def _fq_perlane(x, Qm):
-    return 0.5 * x @ Qm @ x
+    return 0.5 * jnp.sum(x * (Qm @ x))
 
 
 @settings(max_examples=8, deadline=None)

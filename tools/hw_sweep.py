@@ -143,6 +143,30 @@ except Exception as e:
           flush=True)
     fail += 1
 
+# the diagonally-preconditioned (scaled) fused wrapper: its sqrt-scale
+# rides the consts path as a 1-D array since the consts layout fix
+# (round 4) — this is the entry that historically had HW-only layout
+# failures (replicated-layout reduction, round 1), so sweep it
+try:
+    from optimization_solvers_tpu.ops.pallas_lbfgsb import (
+        lbfgsb_solve_fused_scaled)
+
+    t0 = time.perf_counter()
+    r = lbfgsb_solve_fused_scaled(
+        quad, x0[:128], lo, hi, d, consts=(d,), m=5, pgtol=1e-5,
+        factr=10.0, max_iter=300, tile=128)
+    conv = float((np.asarray(r.status) == 1).mean())
+    medf = float(np.median(np.asarray(r.f)))
+    dt = time.perf_counter() - t0
+    tag = "OK " if conv > 0.95 else "WARN"
+    print(f"{tag} LBFGSB-scaled: conv {conv:.2f} med_f {medf:.2e} "
+          f"({dt:.0f}s)", flush=True)
+    ok += 1
+except Exception as e:
+    print(f"FAIL LBFGSB-scaled: {type(e).__name__}: {str(e)[:150]}",
+          flush=True)
+    fail += 1
+
 # dedicated kernels outside the generic driver: the tall-layout large-n
 # L-BFGS-B (round 4; segment-bisection GCP) on a bound-active geometry
 try:
