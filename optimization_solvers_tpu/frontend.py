@@ -219,6 +219,16 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     from optimization_solvers_tpu import solvers
 
     x0 = jnp.asarray(x0)
+    # the solve runs in x0's dtype: float problem data of a DIFFERENT float
+    # dtype would otherwise promote oracle outputs mid-solve (e.g. f32 x0 +
+    # f64 consts under x64 -> f64 f/g inside an f32 while-loop carry, a
+    # hard trace error in every search).  Integer/bool data passes through.
+    data = tuple(jnp.asarray(c) for c in data)
+    data = tuple(
+        c.astype(x0.dtype)
+        if jnp.issubdtype(c.dtype, jnp.floating) and c.dtype != x0.dtype
+        else c
+        for c in data)
     if tol is None:
         tol = 1e-6 if x0.dtype == jnp.float64 else 1e-4
     batched = x0.ndim == 2

@@ -61,11 +61,16 @@ def vmem_footprint_bytes(n: int, m: int, tile: int, consts=()) -> int:
     Single source of truth for the kernel's own vmem_limit raise and the
     frontend router's fit check — keeping the two copies of this formula
     in sync was a round-4 review finding (same treatment as the tall
-    kernel's helper)."""
+    kernel's helper).  Originally-1-D consts count at ``k * tile``
+    elements, not ``k``: the kernel broadcasts each to a (k, T)
+    sublane-resident slab (``_load_consts``), so sizing them at their
+    wrapper-side shape underestimated the working set by ~k*T*4 bytes per
+    1-D const (round-4 advisor finding)."""
     import numpy as _np
 
     return (2 * m + 10) * n * tile * 4 + sum(
-        int(_np.size(c)) * 4 for c in consts)
+        int(_np.size(c)) * (tile if _np.ndim(c) == 1 else 1) * 4
+        for c in consts)
 
 
 def _make_kernel(f, const_1d, n, m, T, pgtol, factr, max_iter, max_iter_ls,

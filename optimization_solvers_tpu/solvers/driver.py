@@ -324,10 +324,13 @@ def _try_fused_batch(method, line_search, oracle, x0, bounds, kwargs):
     raw_f = getattr(oracle, "raw_f", None)
     if raw_f is None or not pallas_driver.fused_supported(method, line_search):
         return None
-    # keyed like the probe: a per-lane-boxes compile failure must not
-    # strand the shared-bounds (or unbounded) variants on lockstep
+    consts = getattr(oracle, "data", ())
+    # keyed like the probe: a per-lane-boxes (or one consts-shape-specific,
+    # e.g. VMEM-blowout) compile failure must not strand the other
+    # bounds/consts variants of the same objective on lockstep
     key = (type(method), type(line_search),
-           None if bounds is None else int(jnp.ndim(bounds[0])))
+           None if bounds is None else int(jnp.ndim(bounds[0])),
+           tuple((jnp.shape(c), str(jnp.result_type(c))) for c in consts))
     try:
         if key in _FUSED_UNSUPPORTED.get(raw_f, ()):
             return None

@@ -169,3 +169,27 @@ def test_frontend_per_lane_bounds_batched_lbfgsb():
     np.testing.assert_allclose(
         np.asarray(res.x), np.clip(1.5, np.asarray(lo), np.asarray(hi)),
         atol=1e-7)
+
+
+def test_frontend_mixed_dtype_data_cast_to_x0_dtype():
+    """f32 x0 with f64 problem data must solve in f32 (round-5 fix): the
+    promotion would otherwise surface as a while-loop carry dtype error
+    inside dcsrch (f64 f/g vs f32 stp) rather than anything actionable."""
+    def fq(x, d, c):
+        return jnp.sum(d * (x - c) ** 2)
+
+    d = jnp.linspace(1.0, 3.0, 8)            # f64 under the x64 conftest
+    c = jnp.linspace(-1.0, 1.0, 8)
+    x0 = jnp.zeros((4, 8), jnp.float32)
+    res = ost.minimize(fq, x0, method="lbfgsb", data=(d, c),
+                       bounds=(-5.0, 5.0), tol=1e-5)
+    assert res.x.dtype == jnp.float32
+    assert np.isin(np.asarray(res.status), (1, 6)).all()
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(c)[None, :]
+                               * np.ones((4, 1)), atol=1e-3)
+    # integer data passes through untouched (indices must stay indices)
+    def fsel(x, idx):
+        return jnp.sum(x[idx] ** 2) + jnp.sum((x - 1.0) ** 2) * 0.0
+    r2 = ost.minimize(lambda x, i: jnp.sum(x ** 2) + 0.0 * jnp.sum(i),
+                      x0[0], method="gd", data=(jnp.arange(3),), tol=1e-4)
+    assert int(r2.status) == 1

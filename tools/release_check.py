@@ -113,6 +113,43 @@ def step_interpret_smoke(rec):
     return code == 0
 
 
+def _head_rev():
+    return subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+
+
+def _tree_dirty():
+    # source staleness only: an artifact is stale when *tracked source*
+    # changed, not when untracked scratch files exist
+    out = subprocess.run(["git", "status", "--porcelain", "-uno"], cwd=REPO,
+                         capture_output=True, text=True).stdout
+    return bool(out.strip())
+
+
+def verify_fresh():
+    """Refuse a stale verdict artifact (round-4 VERDICT weak #7): exit 0
+    iff RELEASE_CHECK.json exists, passed, and was produced at the current
+    HEAD from a clean tree.  ``python tools/release_check.py --verify``."""
+    path = os.path.join(REPO, "RELEASE_CHECK.json")
+    head = _head_rev()
+    if not os.path.exists(path):
+        print(json.dumps({"fresh": False, "reason": "no RELEASE_CHECK.json"}))
+        return 1
+    rec = json.load(open(path))
+    reasons = []
+    if rec.get("git_rev") != head:
+        reasons.append(f"stale: artifact at {rec.get('git_rev')}, HEAD {head}")
+    if rec.get("dirty"):
+        reasons.append("artifact was produced from a dirty tree")
+    if _tree_dirty():
+        reasons.append("working tree has uncommitted tracked changes")
+    if not rec.get("ok"):
+        reasons.append("artifact records a FAILED check")
+    print(json.dumps({"fresh": not reasons, "git_rev": rec.get("git_rev"),
+                      "head": head, "reasons": reasons}))
+    return 0 if not reasons else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-tests", action="store_true")
@@ -121,11 +158,16 @@ def main():
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--cpu-only", action="store_true",
                     help="no TPU attached: suite + interpret-mode smoke")
+    ap.add_argument("--verify", action="store_true",
+                    help="don't run anything: check RELEASE_CHECK.json is "
+                         "at HEAD, clean, and passing")
     args = ap.parse_args()
 
-    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
-                         capture_output=True, text=True).stdout.strip()
-    rec = {"git_rev": rev,
+    if args.verify:
+        sys.exit(verify_fresh())
+
+    rev = _head_rev()
+    rec = {"git_rev": rev, "dirty": _tree_dirty(),
            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S")}
     oks = []
     if not args.skip_tests:

@@ -129,7 +129,6 @@ for cap in (40, 20, 10, 5):
 # utilization model: passes/iter at the measured trip share
 VPU_OPS_PER_SEC = 3.85e12            # v5e f32 VPU peak (8x128x4 @ 0.94 GHz)
 ELEMS = TILE * N
-base = out["caps"][40]
 t40, t5 = out["caps"][40]["per_tile_iter_us"], out["caps"][5]["per_tile_iter_us"]
 out["bisection_share_upper_bound"] = round(1 - t5 / t40, 3) if t40 else None
 passes_models = {"fixed_710": 710}
