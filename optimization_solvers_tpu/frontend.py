@@ -88,7 +88,19 @@ def _method_and_search(name, tol, options):
         raise ValueError(
             f"unknown method {name!r}; choose from "
             f"{sorted(table) + ['lbfgsb', 'newton_cg']}")
-    return table[name]
+    return (name,) + table[name]
+
+
+# policy="fast" per-method config overlays: each is an opt-in variant this
+# repo measured to dominate the reference update on both speed AND
+# success fraction (BENCH_NOTES round 4; docs/tpu_accuracy.md):
+#   spg  alternate-BB   2.17x throughput, conv 0.985 -> 1.000 (config 3)
+#   spn  precond_bb     median 2 iterations vs ~2000 (reference BB freeze)
+# A user-passed option always wins over the overlay.
+_FAST_METHOD_OVERLAY = {
+    "spg": {"bb_variant": "alternate"},
+    "spn": {"precond_bb": True},
+}
 
 
 # objective -> {probe key: verdict}; weak keys so dynamically-created
@@ -172,7 +184,8 @@ def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile,
 
 def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
              tol: float | None = None, max_iter: int = 1000,
-             max_iter_ls=None, search=None, **options):
+             max_iter_ls=None, search=None, policy: str = "fast",
+             **options):
     """Minimize scalar ``f`` from ``x0`` with the named method.
 
     ``f``: plain scalar objective (``f(x)`` or ``f(x, *data)``) or an
@@ -184,6 +197,20 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     when given.  Extra keyword ``options`` are forwarded to the method
     config when its dataclass has the field (e.g. ``m=10`` for
     lbfgs/lbfgsb, ``precond_bb=True`` for spn).
+
+    ``policy`` selects the update-rule defaults (round-5; VERDICT round-4
+    weak #1).  ``"fast"`` (the default here) picks the variants this repo
+    measured to dominate the reference's update on BOTH speed and success
+    fraction: alternate-BB for spg (2.17x, conv 1.000 — BENCH_NOTES round
+    4), Newton-preconditioned BB for spn (median 2 vs ~2000 iterations),
+    and — for f32 solves whose method defaults to a More-Thuente search —
+    the Hager-Zhang approximate-Wolfe acceptance that closes the f32
+    value-cancellation livelock.  ``"reference"`` keeps every default
+    reference-exact (``spg.rs:134-143`` / ``spn.rs:139-148`` semantics),
+    as the solver-object and ``api`` layers always do.  This front end is
+    the scipy-style convenience surface, hence fast-by-default; an
+    explicit option (e.g. ``bb_variant="bb1"``) or an explicit ``search``
+    object always wins over the policy.
 
     ``tol`` (the gradient/stationarity certification threshold) defaults
     DTYPE-AWARE, like ``factr`` below: 1e-6 for f64 ``x0`` (the reference
@@ -218,6 +245,9 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     from optimization_solvers_tpu.core.oracle import make_oracle
     from optimization_solvers_tpu import solvers
 
+    if policy not in ("fast", "reference"):
+        raise ValueError(
+            f"policy must be 'fast' or 'reference', got {policy!r}")
     x0 = jnp.asarray(x0)
     # the solve runs in x0's dtype: float problem data of a DIFFERENT float
     # dtype would otherwise promote oracle outputs mid-solve (e.g. f32 x0 +
@@ -361,9 +391,14 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
         fn = newton_cg_batch_minimize if batched else newton_cg_minimize
         return fn(oracle, x0, lower, upper, cfg)
 
-    make_m, default_search, needs_bounds = _method_and_search(
+    canon, make_m, default_search, needs_bounds = _method_and_search(
         method, tol, options)
     m = make_m()
+    if policy == "fast":
+        overlay = {k: v for k, v in _FAST_METHOD_OVERLAY.get(canon, {}).items()
+                   if k not in options}
+        if overlay:
+            m = dataclasses.replace(m, **overlay)
     unknown = set(options) - set(type(m).__dataclass_fields__)
     if unknown:
         raise TypeError(
@@ -375,6 +410,12 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     if max_iter_ls is None:
         max_iter_ls = 40
     s = search if search is not None else default_search
+    if (policy == "fast" and search is None and x0.dtype == jnp.float32
+            and getattr(s, "approx_wolfe", None) is False):
+        # f32 More-Thuente default: add the HZ approximate-Wolfe acceptance
+        # (the strong-Wolfe Armijo half is cancellation-undecidable near a
+        # minimizer in f32 — MoreThuente.approx_wolfe field docstring)
+        s = dataclasses.replace(s, approx_wolfe=True)
     if needs_bounds and bounds is None:
         raise ValueError(f"method {method!r} requires bounds=(lower, upper)")
     if bounds is not None:

@@ -193,3 +193,55 @@ def test_frontend_mixed_dtype_data_cast_to_x0_dtype():
     r2 = ost.minimize(lambda x, i: jnp.sum(x ** 2) + 0.0 * jnp.sum(i),
                       x0[0], method="gd", data=(jnp.arange(3),), tol=1e-4)
     assert int(r2.status) == 1
+
+
+def test_frontend_policy_routing(monkeypatch):
+    """policy="fast" (the frontend default) must select the measured-better
+    update variants; "reference" must keep reference-exact defaults; an
+    explicit option or search object always wins (round-5 VERDICT item 2)."""
+    from optimization_solvers_tpu import solvers, linesearch as ls
+
+    seen = {}
+
+    def spy(m, s, oracle, x0, **kw):
+        seen["m"], seen["s"] = m, s
+        return solvers.minimize.__wrapped__(m, s, oracle, x0, **kw) \
+            if hasattr(solvers.minimize, "__wrapped__") else _orig(
+                m, s, oracle, x0, **kw)
+
+    _orig = solvers.minimize
+    monkeypatch.setattr(solvers, "minimize", spy)
+
+    def quad(x):
+        return jnp.sum((x - 1.0) ** 2)
+
+    x32 = jnp.asarray([0.0, 0.0], jnp.float32)
+    x64 = jnp.asarray([0.0, 0.0], jnp.float64)
+
+    ost.minimize(quad, x32, method="spg", bounds=(-2.0, 2.0), max_iter=50)
+    assert seen["m"].bb_variant == "alternate"
+    ost.minimize(quad, x32, method="spg", bounds=(-2.0, 2.0), max_iter=50,
+                 policy="reference")
+    assert seen["m"].bb_variant == "bb1"
+    ost.minimize(quad, x32, method="spg", bounds=(-2.0, 2.0), max_iter=50,
+                 bb_variant="bb1")                    # explicit option wins
+    assert seen["m"].bb_variant == "bb1"
+
+    ost.minimize(quad, x32, method="spn", bounds=(-2.0, 2.0), max_iter=50)
+    assert seen["m"].precond_bb is True
+    ost.minimize(quad, x32, method="spn", bounds=(-2.0, 2.0), max_iter=50,
+                 policy="reference")
+    assert seen["m"].precond_bb is False
+
+    # f32 More-Thuente default gains approx-Wolfe; f64 keeps reference MT;
+    # an explicit search object is never modified
+    ost.minimize(quad, x32, method="bfgs", max_iter=50)
+    assert seen["s"].approx_wolfe is True
+    ost.minimize(quad, x64, method="bfgs", max_iter=50)
+    assert seen["s"].approx_wolfe is False
+    mt = ls.MoreThuente()
+    ost.minimize(quad, x32, method="bfgs", max_iter=50, search=mt)
+    assert seen["s"] is mt
+
+    with pytest.raises(ValueError, match="policy"):
+        ost.minimize(quad, x32, method="gd", policy="turbo")
