@@ -3,17 +3,34 @@
 
 Only one physical TPU chip is reachable in this environment, so the mesh
 scaling is demonstrated on the virtual multi-device CPU backend (the same
-`shard_map` program that would run over ICI on a pod slice: data-parallel
+`shard_map` programs that would run over ICI on a pod slice: data-parallel
 shards with per-device convergence, zero hot-path collectives).  On real
-multi-chip hardware the identical code path applies; with no cross-device
+multi-chip hardware the identical code paths apply; with no cross-device
 communication in the hot loop the expected efficiency is ~100% minus
 stragglers.
 
-Prints one JSON line with the per-mesh-size records.
+Covers THREE sharded routes (round-5 VERDICT item 6):
+  * lockstep      sharded_lbfgsb_minimize       (XLA while-loop per shard)
+  * fused         sharded_lbfgsb_solve_fused    (lane-last Pallas kernel,
+                                                 interpret-mode off-TPU)
+  * fused_tall    sharded_lbfgsb_solve_fused_tall (large-n tall kernel,
+                                                 interpret-mode off-TPU)
+plus the 2-process DCN path (jax.distributed, the multi-host seam) as a
+timed completion record.
+
+Usage:
+    python bench_scaling.py                      # print JSON
+    python bench_scaling.py --out SCALING_r05.json
+    python bench_scaling.py --skip-dcn --skip-fused   # quick lockstep-only
 """
 
+import argparse
 import json
 import os
+import socket
+import subprocess
+import sys
+import time
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -28,49 +45,147 @@ import numpy as np
 
 from optimization_solvers_tpu.core import problems
 from optimization_solvers_tpu.core.oracle import make_oracle
-from optimization_solvers_tpu.parallel import scaling_report, sharded_lbfgsb_minimize
+from optimization_solvers_tpu.parallel import (
+    scaling_report,
+    sharded_lbfgsb_minimize,
+    sharded_lbfgsb_solve_fused,
+    sharded_lbfgsb_solve_fused_tall,
+)
 from optimization_solvers_tpu.solvers.lbfgsb import LbfgsbConfig
 
 N = 32
 BATCH = 256
 
 
-def main():
+def _round(rec):
+    return {k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in rec.items()}
+
+
+def _efficiency_note():
+    # Virtual CPU devices SHARE physical cores, so speedup numbers are
+    # meaningless here; what these runs demonstrate is the absence of
+    # added communication/synchronization cost in the shard_map programs:
+    # total wall should stay ~flat as the same workload splits over more
+    # mesh devices (on real chips the same programs scale by device count,
+    # as there are no hot-path collectives to pay for).
+    return ("cpu-virtual-mesh (1 physical TPU chip available; virtual "
+            "devices share cores, so speedup is not measurable — "
+            "overhead_vs_single ~1.0 shows the sharded program adds no "
+            "communication cost)")
+
+
+def bench_lockstep():
     oracle = make_oracle(problems.rosenbrock())
     lower = jnp.full(N, -5.0, jnp.float32)
     upper = jnp.full(N, 5.0, jnp.float32)
     cfg = LbfgsbConfig(m=5, pgtol=1e-3, factr=100.0, max_iter=400)
     x0 = jnp.asarray(
-        np.random.RandomState(0).uniform(-2, 2, (BATCH, N)), jnp.float32
-    )
+        np.random.RandomState(0).uniform(-2, 2, (BATCH, N)), jnp.float32)
 
     def solve_fn(mesh):
-        return sharded_lbfgsb_minimize(
-            oracle, x0, lower, upper, cfg, mesh=mesh
-        )
+        return sharded_lbfgsb_minimize(oracle, x0, lower, upper, cfg,
+                                       mesh=mesh)
 
-    records = scaling_report(solve_fn, batch=BATCH, device_counts=[1, 2, 4, 8])
-    # Virtual CPU devices SHARE physical cores, so speedup numbers are
-    # meaningless here; what this run demonstrates is the absence of added
-    # communication/synchronization cost in the shard_map program: total
-    # wall time should stay ~flat as the same workload is split over more
-    # mesh devices (on real chips the same program scales by device count,
-    # as there are no hot-path collectives to pay for).
+    records = scaling_report(solve_fn, batch=BATCH,
+                             device_counts=[1, 2, 4, 8])
     base = records[0]["seconds"]
     for r in records:
         r["overhead_vs_single"] = r["seconds"] / base
-    print(json.dumps({
-        "metric": "lbfgsb_dp_shardmap_overhead",
-        "workload": f"{BATCH}x Rosenbrock-{N} L-BFGS-B, shard_map dp",
-        "backend": "cpu-virtual-mesh (1 physical TPU chip available; "
-                   "virtual devices share cores, so speedup is not "
-                   "measurable — overhead_vs_single ~1.0 shows the sharded "
-                   "program adds no communication cost)",
-        "records": [
-            {k: (round(v, 4) if isinstance(v, float) else v)
-             for k, v in r.items()} for r in records
-        ],
-    }))
+    return {"metric": "lbfgsb_dp_shardmap_overhead",
+            "workload": f"{BATCH}x Rosenbrock-{N} L-BFGS-B, shard_map dp",
+            "records": [_round(r) for r in records]}
+
+
+def bench_fused(tall: bool):
+    """Fused-kernel sharded routes in interpret mode (off-TPU).  Interpret
+    mode is ~1000x the hardware kernel, so the workload is tiny: the
+    record's value is the overhead curve of the SAME shard_map program the
+    TPU runs, not absolute throughput."""
+    if tall:
+        n, B, tile, name = 64, 16, 2, "lbfgsb_fused_tall_dp_shardmap_overhead"
+        solve = sharded_lbfgsb_solve_fused_tall
+    else:
+        n, B, tile, name = 16, 32, 4, "lbfgsb_fused_dp_shardmap_overhead"
+        solve = sharded_lbfgsb_solve_fused
+
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1.0 - x[:-1]) ** 2)
+
+    lower = jnp.full(n, -5.0, jnp.float32)
+    upper = jnp.full(n, 5.0, jnp.float32)
+    x0 = jnp.asarray(
+        np.random.RandomState(0).uniform(-2, 2, (B, n)), jnp.float32)
+
+    def solve_fn(mesh):
+        return solve(rosen, x0, lower, upper, (), mesh=mesh,
+                     m=5, pgtol=1e-3, factr=100.0, max_iter=40,
+                     tile=tile, interpret=True)
+
+    records = scaling_report(solve_fn, batch=B, device_counts=[1, 2, 4, 8])
+    base = records[0]["seconds"]
+    for r in records:
+        r["overhead_vs_single"] = r["seconds"] / base
+    return {"metric": name,
+            "workload": f"{B}x Rosenbrock-{n} fused"
+                        f"{' tall' if tall else ''} kernel (interpret), "
+                        "shard_map dp",
+            "records": [_round(r) for r in records]}
+
+
+def bench_dcn():
+    """2-process jax.distributed completion record (the DCN/multi-host
+    seam, same worker the suite's test_distributed.py pins)."""
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "_distributed_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    repo = os.path.dirname(worker)
+    env["PYTHONPATH"] = os.path.dirname(repo) + os.pathsep + env.get(
+        "PYTHONPATH", "")
+    t0 = time.time()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=os.path.dirname(repo)) for pid in (0, 1)]
+    ok = True
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            ok = False
+            continue
+        ok = ok and p.returncode == 0 and f"DIST_OK process={pid}" in out
+    return {"metric": "dcn_two_process_dp_tp",
+            "ok": ok, "wall_s_incl_compiles": round(time.time() - t0, 1),
+            "workload": "2 processes x 2 virtual devices: global-array DP "
+                        "solve + coordinate-sharded TP solve "
+                        "(tests/_distributed_worker.py)"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="also write the report JSON to this path")
+    ap.add_argument("--skip-fused", action="store_true")
+    ap.add_argument("--skip-dcn", action="store_true")
+    args = ap.parse_args()
+
+    report = {"backend": _efficiency_note(),
+              "sections": [bench_lockstep()]}
+    if not args.skip_fused:
+        report["sections"].append(bench_fused(tall=False))
+        report["sections"].append(bench_fused(tall=True))
+    if not args.skip_dcn:
+        report["sections"].append(bench_dcn())
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,18 @@ class SolveResult(NamedTuple):
     iterations: jax.Array  # int32 completed solver iterations (reference `k`)
     status: jax.Array      # int32 Status code
     pg_norm: Optional[jax.Array] = None  # ||x - P(x - g)||_inf at exit
+    # f32x2 solves (round 5): the certified iterate is x + x_lo — the
+    # double-float low word.  An f32-grid point alone cannot certify
+    # grad_tol 1e-6 (|g| quantizes in steps of ~L*eps*|x|); status/pg_norm
+    # refer to the PAIR.  None on plain-precision paths.
+    x_lo: Optional[jax.Array] = None
+    # tall-kernel GCP guard (round 5): True on lanes where the segment
+    # bisection's single-crossing assumption was observed violated (an
+    # earlier model minimum existed below the accepted segment) — the
+    # solve still reached a valid KKT point, but iterate parity with the
+    # sequential-walk backends is not guaranteed on those lanes.  None on
+    # paths without the guard.
+    gcp_multimodal: Optional[jax.Array] = None
 
     @property
     def converged(self) -> jax.Array:

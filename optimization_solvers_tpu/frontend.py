@@ -182,9 +182,44 @@ def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile,
     return r
 
 
+def _minimize_f32x2(f, x0, method, *, bounds, data, tol, max_iter,
+                    max_iter_ls, search, policy, polish_max_iter,
+                    **options):
+    """The ``precision="f32x2"`` pipeline: fast f32 bulk solve at the
+    certifiable f32 tolerance, then df-BFGS polish of every lane to the
+    strict tolerance (solvers/df_polish.py — see its module docstring for
+    why this is the TPU-native answer to the reference's f64)."""
+    from optimization_solvers_tpu.core.types import SolveResult
+    from optimization_solvers_tpu.solvers.df_polish import df_polish_minimize
+
+    if hasattr(f, "value"):
+        raise ValueError(
+            "precision='f32x2' needs a raw scalar objective (it is "
+            "re-traced into double-float arithmetic); pass the function "
+            "rather than an oracle object")
+    if tol is None:
+        tol = 1e-6          # the reference's f64-grade default
+    # stage 1 runs at the f32-certifiable tolerance: pushing the fast path
+    # past its ~1e-4 wall only burns its budget on uncertifiable iterations
+    stage1_tol = max(float(tol), 1e-4)
+    r = minimize(f, x0, method, bounds=bounds, data=data, tol=stage1_tol,
+                 max_iter=max_iter, max_iter_ls=max_iter_ls, search=search,
+                 policy=policy, **options)
+    if tol >= 1e-4:
+        return r            # the requested tol was f32-certifiable as-is
+    res = df_polish_minimize(
+        f, r.x, data=data, bounds=bounds, grad_tol=float(tol),
+        max_iter=int(polish_max_iter))
+    out = res.to_solve_result()
+    return SolveResult(out.x, out.f, out.g,
+                       r.iterations + out.iterations, out.status,
+                       pg_norm=out.pg_norm, x_lo=out.x_lo)
+
+
 def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
              tol: float | None = None, max_iter: int = 1000,
              max_iter_ls=None, search=None, policy: str = "fast",
+             precision: str | None = None, polish_max_iter: int = 200,
              **options):
     """Minimize scalar ``f`` from ``x0`` with the named method.
 
@@ -211,6 +246,19 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     the scipy-style convenience surface, hence fast-by-default; an
     explicit option (e.g. ``bb_variant="bb1"``) or an explicit ``search``
     object always wins over the policy.
+
+    ``precision="f32x2"`` (round-5; the reference's f64 semantics on
+    f32-only TPUs, ``number.rs:3``) runs the normal fast f32 path first,
+    then POLISHES every lane with a double-float BFGS whose oracle is
+    re-evaluated in (hi, lo) f32-pair arithmetic
+    (:mod:`~optimization_solvers_tpu.solvers.df_polish`): iterate updates,
+    y = g+ - g cancellations, Armijo tests, and the final stationarity
+    certificate are all accurate to ~1e-14 relative.  With it, ``tol``
+    defaults to the reference's 1e-6 even for f32 ``x0``, and the returned
+    ``status``/``pg_norm`` certify at that tolerance (measured true-f64
+    validation in tests/test_df_polish.py).  Requires a raw scalar
+    objective (it is re-traced); ``polish_max_iter`` bounds the polish
+    stage.  f64 ``x0`` ignores the flag (already reference precision).
 
     ``tol`` (the gradient/stationarity certification threshold) defaults
     DTYPE-AWARE, like ``factr`` below: 1e-6 for f64 ``x0`` (the reference
@@ -248,7 +296,15 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
     if policy not in ("fast", "reference"):
         raise ValueError(
             f"policy must be 'fast' or 'reference', got {policy!r}")
+    if precision not in (None, "f32x2"):
+        raise ValueError(
+            f"precision must be None or 'f32x2', got {precision!r}")
     x0 = jnp.asarray(x0)
+    if precision == "f32x2" and x0.dtype == jnp.float32:
+        return _minimize_f32x2(
+            f, x0, method, bounds=bounds, data=data, tol=tol,
+            max_iter=max_iter, max_iter_ls=max_iter_ls, search=search,
+            policy=policy, polish_max_iter=polish_max_iter, **options)
     # the solve runs in x0's dtype: float problem data of a DIFFERENT float
     # dtype would otherwise promote oracle outputs mid-solve (e.g. f32 x0 +
     # f64 consts under x64 -> f64 f/g inside an f32 while-loop carry, a

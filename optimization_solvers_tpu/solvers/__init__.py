@@ -46,6 +46,10 @@ from optimization_solvers_tpu.solvers.newton_cg import (
     newton_cg_batch_minimize,
     newton_cg_minimize,
 )
+from optimization_solvers_tpu.solvers.df_polish import (
+    DFPolishResult,
+    df_polish_minimize,
+)
 from optimization_solvers_tpu.solvers.lbfgsb import (
     LbfgsbConfig,
     lbfgsb_batch_minimize,
@@ -57,6 +61,8 @@ from optimization_solvers_tpu.solvers.lbfgsb import (
 __all__ = [
     "minimize",
     "batch_minimize",
+    "DFPolishResult",
+    "df_polish_minimize",
     "make_solver",
     "make_step",
     "minimize_recorded",

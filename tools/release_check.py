@@ -102,6 +102,29 @@ def step_bench(rec, repeats=2):
     return ok
 
 
+def step_scaling(rec):
+    """Standing scaling artifact (round-5 VERDICT item 6): the shard_map
+    overhead report over the 1..8 virtual-device CPU mesh for the
+    lockstep, fused, and tall fused routes, plus the 2-process DCN
+    completion record -> SCALING_r05.json."""
+    code, out, dt = _run([PY, "bench_scaling.py", "--out",
+                          "SCALING_r05.json"], timeout=2400)
+    ok = code == 0
+    data = {}
+    try:
+        data = json.load(open(os.path.join(REPO, "SCALING_r05.json")))
+        dcn = [s for s in data.get("sections", [])
+               if s.get("metric") == "dcn_two_process_dp_tp"]
+        ok = ok and len(data.get("sections", [])) >= 3 and (
+            not dcn or dcn[0].get("ok"))
+    except Exception:
+        ok = False
+    rec["scaling"] = {"ok": ok, "seconds": round(dt, 1),
+                      "sections": [s.get("metric")
+                                   for s in data.get("sections", [])]}
+    return ok
+
+
 def step_interpret_smoke(rec):
     """CPU stand-in for the hardware steps when no TPU is attached: the
     fused-kernel parity tests in interpret mode (already in the suite) plus
@@ -156,6 +179,7 @@ def main():
     ap.add_argument("--skip-sweep", action="store_true")
     ap.add_argument("--skip-anchors", action="store_true")
     ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--cpu-only", action="store_true",
                     help="no TPU attached: suite + interpret-mode smoke")
     ap.add_argument("--verify", action="store_true",
@@ -174,6 +198,11 @@ def main():
         print("[release_check] CPU test suite ...", flush=True)
         oks.append(step_tests(rec))
         print(json.dumps(rec["tests"]), flush=True)
+    if not args.skip_scaling:
+        print("[release_check] scaling artifact (virtual mesh) ...",
+              flush=True)
+        oks.append(step_scaling(rec))
+        print(json.dumps(rec["scaling"]), flush=True)
     if args.cpu_only:
         print("[release_check] interpret-mode kernel smoke ...", flush=True)
         oks.append(step_interpret_smoke(rec))
