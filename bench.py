@@ -617,16 +617,40 @@ def bench_config4():
     cpu = _scipy_lse_baseline(np.asarray(A, np.float64),
                               np.asarray(b, np.float64))
     sps = B / dt
+
+    # round 5 (VERDICT item 3): the RECORDED operating point moves to
+    # B=256 — at B=64 the ~33 ms relay dispatch floor is ~2/3 of the wall
+    # (BENCH_NOTES round 4, "Tall-kernel batch scaling"), so the B=64
+    # number understates the kernel ~1.8x.  B=64 stays as a sub-record
+    # for cross-round continuity.
+    B2 = 256 if SCALE == 1 else max(4, 256 // SCALE)
+    inputs2 = [jnp.asarray(rng.uniform(-0.5, 0.5, (B2, n)), DTYPE)
+               for _ in range(REPEATS + 1)]
+    _fence(solve(inputs2[0]))
+    ts2, r2 = _timed(solve, inputs2[1:])
+    sps2 = B2 / statistics.median(ts2)
+
     return {
-        "metric": "config4_lbfgsb_lse10k_batch64",
-        "value": round(sps, 2), "unit": "solves/s",
-        "solves_per_sec_spread": _spread([B / t for t in ts]),
-        "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
+        "metric": "config4_lbfgsb_lse10k_batch256",
+        "value": round(sps2, 2), "unit": "solves/s",
+        "batch": B2,
+        "solves_per_sec_spread": _spread([B2 / t for t in ts2]),
+        "vs_baseline": round(sps2 / cpu, 2) if cpu == cpu else None,
         "baseline_cpu_solves_per_sec": round(cpu, 4),
-        "converged_fraction": float((np.asarray(r.status) == 1).mean()),
-        "median_iterations": float(np.median(np.asarray(r.iterations))),
-        "median_final_f": float(np.median(np.asarray(r.f))),
-        "lockstep_xla": {
+        "converged_fraction": float((np.asarray(r2.status) == 1).mean()),
+        "median_iterations": float(np.median(np.asarray(r2.iterations))),
+        "median_final_f": float(np.median(np.asarray(r2.f))),
+        "b64": {
+            "solves_per_sec": round(sps, 2),
+            "solves_per_sec_spread": _spread([B / t for t in ts]),
+            "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
+            "converged_fraction": float(
+                (np.asarray(r.status) == 1).mean()),
+            "median_iterations": float(
+                np.median(np.asarray(r.iterations))),
+            "median_final_f": float(np.median(np.asarray(r.f))),
+        },
+        "lockstep_xla_b64": {
             "solves_per_sec": round(B / statistics.median(ts_lk), 2),
             "solves_per_sec_spread": _spread([B / t for t in ts_lk]),
             "converged_fraction": float(
@@ -719,6 +743,50 @@ def bench_config5():
     per_it = time.perf_counter() - t0
     cpu = 1.0 / (per_it * med_it)
     sps = B / dt
+
+    # round 5 (VERDICT item 5): non-degenerate companion — the quadratic
+    # converges in ONE Newton step, so the main record barely exercises
+    # the solver loop.  A log-barrier-regularized quadratic (x-dependent
+    # analytic Hessian) runs a real multi-iteration Newton loop on the
+    # same (B, n, n) Cholesky core.
+    mu = 0.05
+
+    def fb(x):
+        return (0.5 * jnp.sum(d * x * x) + 0.1 * jnp.sum(x) ** 2 / n
+                - mu * jnp.sum(jnp.log(4.0 - x * x)))
+
+    _vgb = jax.value_and_grad(fb)
+
+    def fullb(x):
+        fv, g = _vgb(x)
+        hd = d + 2.0 * mu * (4.0 + x * x) / ((4.0 - x * x) ** 2)
+        Hx = jnp.diag(hd) + (0.2 / n) * jnp.ones((n, n), DTYPE)
+        return FuncEval(fv, g, Hx)
+
+    oracle_b = Oracle(fullb, value_fn=fb)
+
+    def solve_b(x):
+        return solvers.batch_minimize(
+            method, ls.BackTrackingB(), oracle_b, x,
+            bounds=(lower, upper), max_iter=50)
+
+    # starts hugging the barrier walls: Newton needs several damped steps
+    # before the quadratic basin (median_iterations > 1 by construction)
+    inputs_b = [jnp.asarray(rng.uniform(-1.97, 1.97, (B, n)), DTYPE)
+                for _ in range(REPEATS + 1)]
+    _fence(solve_b(inputs_b[0]))
+    tbs, rb = _timed(solve_b, inputs_b[1:])
+    dtb = statistics.median(tbs)
+    companion = {
+        "workload": "log-barrier-regularized quadratic (analytic "
+                    "x-dependent Hessian), same (B, n, n) Cholesky core",
+        "solves_per_sec": round(B / dtb, 2),
+        "solves_per_sec_spread": _spread([B / t for t in tbs]),
+        "median_iterations": float(np.median(np.asarray(rb.iterations))),
+        "converged_fraction": float((np.asarray(rb.status) == 1).mean()),
+        "median_final_f": float(np.median(np.asarray(rb.f))),
+    }
+
     return {
         "metric": "config5_projected_newton_n1024_batch64",
         "value": round(sps, 2), "unit": "solves/s",
@@ -727,6 +795,7 @@ def bench_config5():
         "baseline_cpu_solves_per_sec": round(cpu, 2),
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
         "median_iterations": med_it,
+        "companion_barrier": companion,
         "path": "general_api_lockstep_xla",
     }
 

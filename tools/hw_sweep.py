@@ -188,4 +188,27 @@ except Exception as e:
     print(f"FAIL TALL-LBFGSB: {type(e).__name__}: {str(e)[:150]}", flush=True)
     fail += 1
 
+# round 5: the tall kernel's in-kernel dcsrch strong-Wolfe mode (the
+# Fortran pairing) — interpret mode cannot catch its Mosaic lowering
+try:
+    from optimization_solvers_tpu.ops.pallas_lbfgsb_tall import (
+        lbfgsb_solve_fused_tall)
+
+    t0 = time.perf_counter()
+    r = lbfgsb_solve_fused_tall(
+        quad, x0[:16], lo, hi, consts=(d,), m=5, pgtol=1e-6, factr=10.0,
+        max_iter=300, tile=8, line_search="dcsrch")
+    conv = float(np.isin(np.asarray(r.status), (1,)).mean())
+    medf = float(np.median(np.asarray(r.f)))
+    flagged = float(np.asarray(r.gcp_multimodal).mean())
+    dt = time.perf_counter() - t0
+    tag = "OK " if conv > 0.95 else "WARN"
+    print(f"{tag} TALL-LBFGSB-dcsrch: conv {conv:.2f} med_f {medf:.2e} "
+          f"gcp_flags {flagged:.2f} ({dt:.0f}s)", flush=True)
+    ok += 1
+except Exception as e:
+    print(f"FAIL TALL-LBFGSB-dcsrch: {type(e).__name__}: {str(e)[:150]}",
+          flush=True)
+    fail += 1
+
 print(f"SWEEP-DONE ok={ok} fail={fail}", flush=True)

@@ -147,3 +147,17 @@ with open(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ROOFLINE_TALL.json"), "w") as fh:
     json.dump(out, fh, indent=1)
 print("wrote ROOFLINE_TALL.json")
+
+# round 5 (VERDICT item 3): the standing roofline artifact carries BOTH
+# kernels — fold this run in as ROOFLINE.json["tall_kernel"] (the headline
+# kernel's account stays at the top level, unchanged)
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_rp = os.path.join(_root, "ROOFLINE.json")
+try:
+    _roof = json.load(open(_rp))
+except Exception:
+    _roof = {}
+_roof["tall_kernel"] = out
+with open(_rp, "w") as fh:
+    json.dump(_roof, fh, indent=1)
+print("merged into ROOFLINE.json['tall_kernel']")
