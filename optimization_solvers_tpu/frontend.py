@@ -138,11 +138,14 @@ def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile,
         upper = jnp.concatenate(
             [upper, jnp.broadcast_to(upper[:1], (pad, n))], axis=0)
 
+    tall_kw = {"line_search": cfg.tall_line_search} if tall else {}
+
     def run(xb_, lo_, up_, cs):
         return _solve(
             f, xb_, lo_, up_, consts=cs, m=cfg.m, pgtol=cfg.pgtol,
             factr=cfg.factr, max_iter=cfg.max_iter,
-            max_iter_ls=max(cfg.max_iter_ls, 20), tile=tile, c1=cfg.ls_c1)
+            max_iter_ls=max(cfg.max_iter_ls, 20), tile=tile, c1=cfg.ls_c1,
+            **tall_kw)
 
     if isinstance(x0, jax.core.Tracer):
         def aval(v):
@@ -153,6 +156,7 @@ def _fused_lbfgsb_route(f, x0, lower, upper, consts, cfg, tile,
                       for c in consts),
                 cfg.m, cfg.pgtol, cfg.factr, cfg.max_iter,
                 max(cfg.max_iter_ls, 20), tile, cfg.ls_c1, tall,
+                cfg.tall_line_search if tall else None,
                 int(jnp.ndim(lower)))
         try:
             cache = _FUSED_LBFGSB_PROBED.setdefault(f, {})

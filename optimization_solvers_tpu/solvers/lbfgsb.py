@@ -117,6 +117,13 @@ class LbfgsbConfig:
     # unroll) — semantics identical to 1; amortizes the big-carry loop's
     # per-trip scheduling/copy overhead on huge-n workloads (config 4)
     lockstep_unroll: int = 1
+    # line search of the TALL fused kernel (round 5): "armijo" (projected
+    # value-only backtracking, the established fused default) or "dcsrch"
+    # (the in-kernel MINPACK strong-Wolfe state machine — the Fortran
+    # core's exact pairing, iteration-count parity with the XLA backend
+    # at ~1 gradient-bearing trial eval per line-search trip).  The
+    # lane-last kernel and the XLA path ignore it (XLA always dcsrch).
+    tall_line_search: str = "armijo"
 
 
 def _projected_gradient_norm(x, g, lower, upper):
