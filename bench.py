@@ -733,6 +733,16 @@ def bench_config5():
     ts, r = _timed(solve, inputs[1:])
     dt = statistics.median(ts)
 
+    # round 5 (VERDICT item 5): B=256 operating point — the batch sweep
+    # (CONFIG5_ATTRIBUTION.json) peaks there (~2x the B=64 throughput);
+    # B=64 underfills the chip on this one-Cholesky workload
+    B2 = 256 if SCALE == 1 else max(4, 256 // SCALE)
+    inputs2 = [jnp.asarray(rng.uniform(-2, 2, (B2, n)), DTYPE)
+               for _ in range(REPEATS + 1)]
+    _fence(solve(inputs2[0]))
+    ts2, r2 = _timed(solve, inputs2[1:])
+    dt2 = statistics.median(ts2)
+
     # single-core numpy Newton twin (one instance, same iteration count)
     H = np.diag(d_np) + 0.2 / n * np.ones((n, n))
     x = rng.uniform(-2, 2, n)
@@ -787,14 +797,25 @@ def bench_config5():
         "median_final_f": float(np.median(np.asarray(rb.f))),
     }
 
+    sps2 = B2 / dt2
     return {
-        "metric": "config5_projected_newton_n1024_batch64",
-        "value": round(sps, 2), "unit": "solves/s",
-        "solves_per_sec_spread": _spread([B / t for t in ts]),
-        "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
+        "metric": "config5_projected_newton_n1024_batch256",
+        "value": round(sps2, 2), "unit": "solves/s",
+        "batch": B2,
+        "solves_per_sec_spread": _spread([B2 / t for t in ts2]),
+        "vs_baseline": round(sps2 / cpu, 2) if cpu == cpu else None,
         "baseline_cpu_solves_per_sec": round(cpu, 2),
-        "converged_fraction": float((np.asarray(r.status) == 1).mean()),
-        "median_iterations": med_it,
+        "converged_fraction": float((np.asarray(r2.status) == 1).mean()),
+        "median_iterations": max(1.0, float(
+            np.median(np.asarray(r2.iterations)))),
+        "b64": {
+            "solves_per_sec": round(sps, 2),
+            "solves_per_sec_spread": _spread([B / t for t in ts]),
+            "vs_baseline": round(sps / cpu, 2) if cpu == cpu else None,
+            "converged_fraction": float(
+                (np.asarray(r.status) == 1).mean()),
+            "median_iterations": med_it,
+        },
         "companion_barrier": companion,
         "path": "general_api_lockstep_xla",
     }

@@ -39,13 +39,19 @@ DTYPE = jnp.float32
 
 
 def fence(x):
-    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+    # device-side reduce + 4-byte readback: np.asarray of a big leaf would
+    # TRANSFER it through the relay (~50 s for a (64, 1024, 1024) L — the
+    # first version of this tool measured exactly that and attributed it
+    # to Cholesky)
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.sum(leaf))
 
 
 def timed(fn, inputs):
+    fence(fn(inputs[0]))               # compile + warm on the first input
     ts = []
     out = None
-    for x in inputs:
+    for x in inputs[1:]:
         jax.block_until_ready(x)
         t0 = time.perf_counter()
         out = fn(x)
@@ -105,9 +111,16 @@ def main():
     mm = jax.jit(lambda a, b: jnp.einsum(
         "bij,bjk->bik", a, b, precision=jax.lax.Precision.HIGHEST))
     fence(mm(A, Bm))
-    t0 = time.perf_counter()
-    fence(mm(A, Bm))
-    t_mm = time.perf_counter() - t0
+    ts_mm = []
+    for i in range(REPEATS):
+        # distinct inputs per repeat (the relay memoizes identical
+        # dispatches); scaling by a fresh host scalar is cheap
+        Ai = A * (1.0 + 1e-6 * (i + 1))
+        jax.block_until_ready(Ai)
+        t0 = time.perf_counter()
+        fence(mm(Ai, Bm))
+        ts_mm.append(time.perf_counter() - t0)
+    t_mm = statistics.median(ts_mm)
     mm_rate = 8 * 2 * N ** 3 / t_mm
     out["practical_f32_matmul_gflops"] = round(mm_rate / 1e9, 1)
     out["cholesky_efficiency_vs_matmul"] = round(
@@ -138,8 +151,7 @@ def main():
                 bounds=(lower, upper), max_iter=50)
 
         try:
-            fence(solve(xs[0]))
-            dt, r = timed(solve, xs[1:])
+            dt, r = timed(solve, xs)
             sweep[Bs] = {
                 "solves_per_sec": round(Bs / dt, 1),
                 "wall_ms": round(dt * 1e3, 1),
