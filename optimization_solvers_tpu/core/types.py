@@ -89,10 +89,15 @@ class SolveResult(NamedTuple):
     # refer to the PAIR.  None on plain-precision paths.
     x_lo: Optional[jax.Array] = None
     # tall-kernel GCP guard (round 5): True on lanes where the segment
-    # bisection's single-crossing assumption was observed violated (an
-    # earlier model minimum existed below the accepted segment) — the
-    # solve still reached a valid KKT point, but iterate parity with the
-    # sequential-walk backends is not guaranteed on those lanes.  None on
+    # bisection could NOT certify its single-crossing assumption (bracket
+    # budget exhausted in a small bracket — the path derivative is
+    # non-monotone at f32 granularity there).  Conservative by design:
+    # measured 78% precision / ~23% recall for actual walk-backend
+    # divergence on an adversarial multimodal class, and ~88% benign
+    # firing on the config-4 class whose iterates match the walk backend
+    # — read as "parity not certified", never "result wrong"; the
+    # authoritative check is the XLA walk-backend comparison (kernel
+    # docstring + BENCH_NOTES round 5 for the full calibration).  None on
     # paths without the guard.
     gcp_multimodal: Optional[jax.Array] = None
 

@@ -351,6 +351,12 @@ def minimize(f, x0, method: str = "lbfgs", *, bounds=None, data=(),
         # dtype-aware unless the caller picks a value.
         factr = options.pop(
             "factr", 1e7 if x0.dtype == jnp.float64 else 100.0)
+        if policy == "reference" and "tall_line_search" not in options:
+            # reference semantics prefer the Fortran pairing: the tall
+            # kernel's in-kernel dcsrch (iteration-count parity with the
+            # XLA/Fortran backends) measured ~1.6% of the Armijo default
+            # (TALL_LS_COMPARE.json) — policy="fast" keeps Armijo
+            options["tall_line_search"] = "dcsrch"
         cfg = LbfgsbConfig(
             pgtol=options.pop("pgtol", tol), factr=factr, max_iter=max_iter,
             max_iter_ls=20 if max_iter_ls is None else max_iter_ls,

@@ -110,7 +110,7 @@ def _row_value(f: Callable):
 
 
 def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
-                 c1, bisect_iters, gcp_guard_probes, line_search, dtype):
+                 c1, bisect_iters, gcp_guard_maxseg, line_search, dtype):
     eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
     f_rtol = factr * eps_mach
     curvature_eps = eps_mach
@@ -305,16 +305,21 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             bound_vec = jnp.where(g < 0.0, up, jnp.where(g > 0.0, lo, x))
             z = bound_vec - x
 
-            def seg_eval(t_lo):           # (T, 1) -> (f1, f2) at t_lo+
+            def seg_eval(t_lo):
+                # (T, 1) -> (f1, f2, scale) at t_lo+; ``scale`` is the
+                # magnitude of f1's constituent terms — the rounding noise
+                # floor the GCP guard measures sign evidence against
                 freeseg = movingf * (tb > t_lo).astype(dtype)
                 G2F = rsum(freeseg * g * g)
                 d = -g * freeseg
                 u = movingf * jnp.where(tb <= t_lo, z, -g * t_lo)
                 p2 = w_dot(d)
                 c2 = w_dot(u)
-                f1 = (th * t_lo - 1.0) * G2F - quad(p2, m_apply(c2))
+                ta = (th * t_lo - 1.0) * G2F
+                tc = quad(p2, m_apply(c2))
+                f1 = ta - tc
                 f2 = th * G2F - quad(p2, m_apply(p2))
-                return f1, f2
+                return f1, f2, jnp.abs(ta) + jnp.abs(tc)
 
             def seg_min(f1, f2):
                 return jnp.where(
@@ -329,11 +334,11 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             has_fin = hi0 > 0.0
 
             zero = jnp.zeros((T, 1), dtype)
-            f1_0, f2_0 = seg_eval(zero)
+            f1_0, f2_0, _ = seg_eval(zero)
             dt0 = seg_min(f1_0, f2_0)
             doneA = f1_0 >= 0.0                         # t_cp = 0
             doneB = (~doneA) & (dt0 <= t_min)           # min in 1st segment
-            f1_L, f2_L = seg_eval(jnp.where(has_fin, hi0, zero))
+            f1_L, f2_L, _ = seg_eval(jnp.where(has_fin, hi0, zero))
             dtL = seg_min(f1_L, f2_L)
             doneC = (~doneA) & (~doneB) & has_fin & (f1_L < 0.0)
 
@@ -362,7 +367,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
                 t_hi_seg = jnp.min(
                     jnp.where((movingf > 0) & (tb > t_lo_seg), tb, inf),
                     axis=1, keepdims=True)
-                f1, f2 = seg_eval(t_lo_seg)
+                f1, f2, _ = seg_eval(t_lo_seg)
                 dt = seg_min(f1, f2)
                 found = open_ & (
                     ((f1 >= 0.0) & (t_lo_seg <= lo_b))
@@ -391,41 +396,42 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
             t_hi_seg = jnp.min(
                 jnp.where((movingf > 0) & (tb > t_lo_seg), tb, inf),
                 axis=1, keepdims=True)
-            f1_fb, f2_fb = seg_eval(t_lo_seg)
+            f1_fb, f2_fb, _ = seg_eval(t_lo_seg)
             dt_fb = jnp.clip(seg_min(f1_fb, f2_fb), 0.0,
                              t_hi_seg - t_lo_seg)
             t_lo_fin = jnp.where(open_, t_lo_seg, scB[3])
             dtm = jnp.maximum(jnp.where(open_, dt_fb, scB[4]), 0.0)
             t_cp = t_lo_fin + dtm
 
-            if gcp_guard_probes:
-                # ---- single-crossing guard (round 5, VERDICT item 7) ----
-                # The bisection assumes the path derivative f1 crosses zero
-                # once.  Sound evidence of violation: f1 >= 0 at a segment
-                # START strictly below the accepted segment — monotone f1
-                # would have put the crossing there, so the walk's FIRST
-                # local model minimum was earlier than the one chosen.
-                # Probe a geometric grid between the first breakpoint and
-                # t_lo_fin; sticky per-lane flag rides out in
-                # SolveResult.gcp_multimodal.  A budget-exhausted bracket
-                # (open_) is non-monotone evidence by itself.
-                applies = (active & (t_lo_fin > t_min) & (t_min > 0.0)
-                           & jnp.isfinite(t_lo_fin))
-                ratio = jnp.where(applies, t_lo_fin / t_min, 1.0)
-                lgr = jnp.log(ratio)
-                fl = (open_ & active).astype(dtype)
-                for jp in range(1, gcp_guard_probes + 1):
-                    frac = jp / (gcp_guard_probes + 1.0)
-                    t_g = t_min * jnp.exp(lgr * frac)
-                    t_seg = jnp.max(
-                        jnp.where((movingf > 0) & (tb <= t_g), tb, 0.0),
-                        axis=1, keepdims=True)
-                    f1g, _ = seg_eval(t_seg)
-                    hit = (applies & (f1g >= 0.0) & (t_seg < t_lo_fin)
-                           & (t_seg > 0.0))
-                    fl = jnp.maximum(fl, hit.astype(dtype))
-                gflag[...] = jnp.maximum(gflag[...],
-                                         fl.astype(jnp.int32))
+            if gcp_guard_maxseg:
+                # ---- single-crossing certification flag (round 5, VERDICT
+                # item 7; full calibration story in BENCH_NOTES round 5
+                # "GCP guard calibration") ----
+                # Fires when the bisection EXHAUSTED its trip budget in a
+                # bracket holding <= maxseg segments: a monotone f1 there
+                # resolves in ~2 trips, so exhaustion means the found-test
+                # kept flipping — the path derivative is non-monotone AT
+                # f32 GRANULARITY for this lane.  That includes BOTH true
+                # multi-crossing geometries (where the walk's first local
+                # minimum may differ from the chosen one) and crossings
+                # landing within rounding of a breakpoint (harmless).
+                # MEASURED characteristics, so callers know what the flag
+                # is and is not: on an adversarial multimodal stress class
+                # it fires on 22% of lanes with 78% precision for
+                # actual walk-divergence but only ~23% recall (most true
+                # divergences have NO cheap in-kernel signature); on the
+                # benign config-4 class it fires on ~88% of lanes whose
+                # final iterates nonetheless MATCH the walk backend.
+                # Treat as "single-crossing not certified", never as
+                # "result wrong"; the authoritative parity check is the
+                # XLA walk-backend comparison (tests do exactly that).
+                # Probe-grid f1 sign tests were tried and measured
+                # uninformative both ways (f1 -> 0^- noise below the
+                # crossing; genuine humps rarely probe-visible).
+                cnt = rsum(((movingf > 0) & (tb > scB[0])
+                            & (tb <= scB[1])).astype(dtype))
+                fl = open_ & active & (cnt <= float(gcp_guard_maxseg))
+                gflag[...] = jnp.maximum(gflag[...], fl.astype(jnp.int32))
 
             fixedf = movingf * (tb <= t_lo_fin).astype(dtype)
             freef = movingf * (tb > t_lo_fin).astype(dtype)
@@ -838,7 +844,7 @@ def _make_kernel(f, n_consts, n, m, T, pgtol, factr, max_iter, max_iter_ls,
     jax.jit,
     static_argnames=(
         "f", "m", "pgtol", "factr", "max_iter", "max_iter_ls", "tile", "c1",
-        "bisect_iters", "gcp_guard_probes", "line_search", "interpret",
+        "bisect_iters", "gcp_guard_maxseg", "line_search", "interpret",
         "vmem_limit_bytes",
     ),
 )
@@ -857,7 +863,7 @@ def lbfgsb_solve_fused_tall(
     tile: int = 8,
     c1: float = 1e-3,
     bisect_iters: int = 40,
-    gcp_guard_probes: int = 4,
+    gcp_guard_maxseg: int = 4,
     line_search: str = "armijo",
     interpret: bool = False,
     vmem_limit_bytes: int = None,
@@ -896,7 +902,7 @@ def lbfgsb_solve_fused_tall(
     assert line_search in ("armijo", "dcsrch"), line_search
     kernel = _make_kernel(
         f, len(consts), n, m, T, pgtol, factr, max_iter, max_iter_ls, c1,
-        bisect_iters, gcp_guard_probes, line_search, dtype)
+        bisect_iters, gcp_guard_maxseg, line_search, dtype)
     const_specs = [
         pl.BlockSpec(c.shape, lambda b, _nd=c.ndim: (0,) * _nd,
                      memory_space=pltpu.VMEM)
@@ -977,4 +983,4 @@ def lbfgsb_solve_fused_tall(
     return SolveResult(
         x_final, f_out[:, 0], g_final, it_out[:, 0], st_out[:, 0],
         pg_norm=batched_pg_inf_norm(x_final, g_final, lower, upper),
-        gcp_multimodal=(gf_out[:, 0] > 0) if gcp_guard_probes else None)
+        gcp_multimodal=(gf_out[:, 0] > 0) if gcp_guard_maxseg else None)

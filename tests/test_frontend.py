@@ -245,3 +245,35 @@ def test_frontend_policy_routing(monkeypatch):
 
     with pytest.raises(ValueError, match="policy"):
         ost.minimize(quad, x32, method="gd", policy="turbo")
+
+
+def test_frontend_policy_reference_tall_dcsrch(monkeypatch):
+    """policy="reference" on batched lbfgsb injects the tall kernel's
+    dcsrch mode (the Fortran pairing); "fast" keeps Armijo; an explicit
+    tall_line_search always wins (round 5).  Pinned by spying on the
+    LbfgsbConfig the frontend constructs (backend-agnostic)."""
+    import optimization_solvers_tpu.solvers.lbfgsb as lb
+
+    built = {}
+    real_cfg = lb.LbfgsbConfig
+
+    class SpyCfg(real_cfg):
+        # the frontend also builds a no-arg default for its honored-options
+        # check — the FIRST construction per call is the solve cfg
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            built.setdefault("cfg", self)
+
+    monkeypatch.setattr(lb, "LbfgsbConfig", SpyCfg)
+
+    def quad(x):
+        return jnp.sum((x - 0.2) ** 2)
+
+    x0 = jnp.zeros((4, 8), jnp.float32)
+    ost.minimize(quad, x0, method="lbfgsb", policy="reference", tol=1e-5)
+    assert built.pop("cfg").tall_line_search == "dcsrch"
+    ost.minimize(quad, x0, method="lbfgsb", policy="fast", tol=1e-5)
+    assert built.pop("cfg").tall_line_search == "armijo"
+    ost.minimize(quad, x0, method="lbfgsb", policy="reference",
+                 tall_line_search="armijo", tol=1e-5)
+    assert built.pop("cfg").tall_line_search == "armijo"

@@ -264,6 +264,29 @@ def run_backend(cpu_x64: bool):
               f"f_err={err:.3e} "
               f"({int(np.asarray(res.iterations)[0])} it)", flush=True)
 
+    # f32x2 strict-tolerance certification pass (round 5, VERDICT item 1):
+    # the f64-grade grad_tol=1e-6 certificate on the f32 backend via the
+    # double-float polish (precision="f32x2"; docs/f32x2.md) — the
+    # resolution of this doc's round-4 "pg ~ 2e-4 certification wall"
+    if not cpu_x64:
+        for name, m_, opts in [("lbfgs_rosen16", "bfgs", {})]:
+            _, f, x0l, bounds, f_star, _, _, max_iter = anchors[name]
+            xb = jnp.broadcast_to(jnp.asarray(x0l, dtype), (B, len(x0l)))
+            kw = dict(max_iter=max_iter, precision="f32x2", **opts)
+            if bounds is not None:
+                kw["bounds"] = (jnp.asarray(bounds[0], dtype),
+                                jnp.asarray(bounds[1], dtype))
+            res = ost.minimize(f, xb, method=m_, **kw)
+            st = Status(int(np.asarray(res.status)[0])).name
+            err = abs(float(np.asarray(res.f)[0]) - f_star)
+            pgv = float(np.asarray(res.pg_norm)[0])
+            if name in by_name:
+                by_name[name]["f32x2_status"] = st
+                by_name[name]["f32x2_pg_norm"] = pgv
+                by_name[name]["f32x2_f_err"] = err
+            print(f"[{backend}] {name} via precision=f32x2: {st} "
+                  f"pg={pgv:.2e} f_err={err:.3e}", flush=True)
+
     out = os.path.join(REPO, f"tpu_accuracy_{'cpu' if cpu_x64 else 'tpu'}.json")
     with open(out, "w") as fh:
         json.dump(dict(backend=backend, device=str(dev),
@@ -324,6 +347,21 @@ def write_doc():
         "TPU f32.**  Misses are discussed below.",
         "",
     ]
+    x2 = [(nm, d["tpu"]) for nm, d in rows.items()
+          if "f32x2_status" in d.get("tpu", {})]
+    if x2:
+        lines += [
+            "Round-5 resolution of the certification wall: the SAME f32 "
+            "chip certifies the f64-grade `grad_tol 1e-6` via "
+            "`precision=\"f32x2\"` (double-float polish, docs/f32x2.md):",
+            "",
+        ]
+        for nm, t in x2:
+            lines.append(
+                f"- `{nm}`: {t['f32x2_status']}, pg_norm "
+                f"{t['f32x2_pg_norm']:.2e}, `|f-f*|` "
+                f"{t['f32x2_f_err']:.2e}")
+        lines.append("")
     out = os.path.join(REPO, "docs", "tpu_accuracy.md")
     body = "\n".join(lines)
     if os.path.exists(out):
