@@ -141,12 +141,31 @@ def _head_rev():
                           capture_output=True, text=True).stdout.strip()
 
 
+# measurement artifacts the check itself (re)writes — changes to these are
+# not SOURCE staleness (the final workflow is: commit source, run the
+# check, commit the artifacts; the artifact commit must not un-fresh the
+# verdict it carries)
+_ARTIFACTS = {
+    "RELEASE_CHECK.json", "SCALING_r05.json", "tpu_accuracy_tpu.json",
+    "tpu_accuracy_cpu.json", "docs/tpu_accuracy.md",
+}
+
+
+def _is_artifact(path):
+    return path in _ARTIFACTS or path.startswith(("BENCH_", "ROOFLINE",
+                                                  "MULTICHIP_"))
+
+
 def _tree_dirty():
     # source staleness only: an artifact is stale when *tracked source*
-    # changed, not when untracked scratch files exist
+    # changed, not when untracked scratch files or the check's own
+    # outputs move
     out = subprocess.run(["git", "status", "--porcelain", "-uno"], cwd=REPO,
                          capture_output=True, text=True).stdout
-    return bool(out.strip())
+    for line in out.splitlines():
+        if line.strip() and not _is_artifact(line[3:].strip()):
+            return True
+    return False
 
 
 def verify_fresh():
@@ -161,7 +180,18 @@ def verify_fresh():
     rec = json.load(open(path))
     reasons = []
     if rec.get("git_rev") != head:
-        reasons.append(f"stale: artifact at {rec.get('git_rev')}, HEAD {head}")
+        # accept when everything between the recorded rev and HEAD is
+        # measurement artifacts (the artifact-commit pattern)
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", f"{rec.get('git_rev')}..HEAD"],
+            cwd=REPO, capture_output=True, text=True)
+        changed = [l.strip() for l in diff.stdout.splitlines() if l.strip()]
+        if diff.returncode != 0 or any(not _is_artifact(p)
+                                       for p in changed):
+            reasons.append(
+                f"stale: artifact at {rec.get('git_rev')}, HEAD {head}, "
+                f"source changed: "
+                f"{[p for p in changed if not _is_artifact(p)][:5]}")
     if rec.get("dirty"):
         reasons.append("artifact was produced from a dirty tree")
     if _tree_dirty():
