@@ -152,8 +152,10 @@ _ARTIFACTS = {
 
 
 def _is_artifact(path):
-    return path in _ARTIFACTS or path.startswith(("BENCH_", "ROOFLINE",
-                                                  "MULTICHIP_"))
+    return path in _ARTIFACTS or path.startswith(
+        ("BENCH_", "ROOFLINE", "MULTICHIP_", "CONFIG5_", "DF_TPU",
+         "MXU_PROBE", "TALL_LS", "SCALING_", "COPYCHECK",
+         "PROGRESS"))
 
 
 def _tree_dirty():
