@@ -511,42 +511,38 @@ def _np_spg_baseline(d_np, samples=16, grad_tol=1e-4, max_iter=1000):
 
 def bench_config3():
     """SPG + GLL on a box-constrained quadratic (cond 1e3), 10,240-instance
-    batch, general API (fused='auto')."""
-    from optimization_solvers_tpu import linesearch as ls, solvers
+    batch, through the ONE-CALL FRONT END (round 5, VERDICT item 2): the
+    main record is the frontend-DEFAULT path — ``policy="fast"`` selects
+    the alternating-BB scalar that closes the f32 lambda-cycling tail at
+    ~2x throughput AND conv 1.000 — with ``policy="reference"``
+    (spg.rs:134-143 exact) measured interleaved as the sub-record."""
+    import optimization_solvers_tpu as ost
 
     B, n = 10_240 // SCALE, 64
     d = jnp.asarray(np.logspace(0, 3, n), DTYPE)
+
     # problem data rides explicitly (data=...) so the fused kernel can take
     # it as consts operands; a closure capture would force the vmapped path
-    oracle = make_oracle(lambda x, diag: 0.5 * jnp.sum(diag * x * x),
-                         data=(d,))
-    lower = jnp.full((n,), -2.0, DTYPE)
-    upper = jnp.full((n,), 2.0, DTYPE)
-    method = solvers.SpectralProjectedGradient(grad_tol=1e-4)
+    def fq(x, diag):
+        return 0.5 * jnp.sum(diag * x * x)
 
-    def solve(x):
-        return solvers.batch_minimize(
-            method, ls.GLLQuadratic(), oracle, x, bounds=(lower, upper),
-            max_iter=1000, max_iter_ls=30)
+    def solve_fast(x):
+        return ost.minimize(fq, x, method="spg", bounds=(-2.0, 2.0),
+                            data=(d,), tol=1e-4, max_iter=1000,
+                            max_iter_ls=30)
 
-    # mitigation twin (VERDICT round-3 item 3, "measured both ways"): the
-    # opt-in alternating-BB scalar that breaks the f32 lambda cycling
-    # behind the ~1.5% tail (default semantics untouched)
-    m_abb = solvers.SpectralProjectedGradient(grad_tol=1e-4,
-                                              bb_variant="alternate")
-
-    def solve_abb(x):
-        return solvers.batch_minimize(
-            m_abb, ls.GLLQuadratic(), oracle, x, bounds=(lower, upper),
-            max_iter=1000, max_iter_ls=30)
+    def solve_ref(x):
+        return ost.minimize(fq, x, method="spg", bounds=(-2.0, 2.0),
+                            data=(d,), tol=1e-4, max_iter=1000,
+                            max_iter_ls=30, policy="reference")
 
     rng = np.random.RandomState(3)
     inputs = [jnp.asarray(rng.uniform(-2, 2, (B, n)), DTYPE)
               for _ in range(REPEATS + 1)]
-    _fence(solve(inputs[0]))
-    _fence(solve_abb(inputs[0]))
-    (ts, ts_abb), (r, r_abb) = _timed_interleaved(
-        [solve, solve_abb], inputs[1:])
+    _fence(solve_fast(inputs[0]))
+    _fence(solve_ref(inputs[0]))
+    (ts, ts_ref), (r, r_ref) = _timed_interleaved(
+        [solve_fast, solve_ref], inputs[1:])
     dt = statistics.median(ts)
     sps = B / dt
     cpu = _np_spg_baseline(np.asarray(d, np.float64))
@@ -559,15 +555,15 @@ def bench_config3():
         "converged_fraction": float((np.asarray(r.status) == 1).mean()),
         "median_final_f": float(np.median(np.asarray(r.f))),
         "median_iterations": float(np.median(np.asarray(r.iterations))),
-        "alternate_bb": {
-            "solves_per_sec": round(B / statistics.median(ts_abb), 2),
-            "solves_per_sec_spread": _spread([B / t for t in ts_abb]),
+        "reference_policy": {
+            "solves_per_sec": round(B / statistics.median(ts_ref), 2),
+            "solves_per_sec_spread": _spread([B / t for t in ts_ref]),
             "converged_fraction": float(
-                (np.asarray(r_abb.status) == 1).mean()),
+                (np.asarray(r_ref.status) == 1).mean()),
             "median_iterations": float(
-                np.median(np.asarray(r_abb.iterations))),
+                np.median(np.asarray(r_ref.iterations))),
         },
-        "path": "general_api_fused_auto",
+        "path": "frontend_default_policy_fast_fused_auto",
     }
 
 
@@ -619,11 +615,12 @@ def bench_config4():
     sps = B / dt
 
     # round 5 (VERDICT item 3): the RECORDED operating point moves to
-    # B=256 — at B=64 the ~33 ms relay dispatch floor is ~2/3 of the wall
-    # (BENCH_NOTES round 4, "Tall-kernel batch scaling"), so the B=64
-    # number understates the kernel ~1.8x.  B=64 stays as a sub-record
-    # for cross-round continuity.
-    B2 = 256 if SCALE == 1 else max(4, 256 // SCALE)
+    # B=512 — at B=64 the ~34 ms relay dispatch floor is ~2/3 of the wall
+    # (ROOFLINE.json["tall_kernel"]), so the B=64 number understates the
+    # kernel ~2x (measured: 1,136 -> 2,086 -> 2,442 solves/s at
+    # 64/256/512).  B=64 stays as a sub-record for cross-round
+    # continuity.
+    B2 = 512 if SCALE == 1 else max(4, 512 // SCALE)
     inputs2 = [jnp.asarray(rng.uniform(-0.5, 0.5, (B2, n)), DTYPE)
                for _ in range(REPEATS + 1)]
     _fence(solve(inputs2[0]))
@@ -631,7 +628,7 @@ def bench_config4():
     sps2 = B2 / statistics.median(ts2)
 
     return {
-        "metric": "config4_lbfgsb_lse10k_batch256",
+        "metric": "config4_lbfgsb_lse10k_batch512",
         "value": round(sps2, 2), "unit": "solves/s",
         "batch": B2,
         "solves_per_sec_spread": _spread([B2 / t for t in ts2]),

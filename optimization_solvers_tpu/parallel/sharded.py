@@ -31,9 +31,14 @@ from optimization_solvers_tpu.solvers.driver import batch_minimize
 
 
 def _result_specs(axis: str):
+    # x_lo / gcp_multimodal (round-5 optional SolveResult fields) are
+    # batch-axis leaves when the wrapped path produces them; a P spec on a
+    # None subtree is accepted (prefix pytree), but None on an ARRAY leaf
+    # is not — so spec them like their siblings
     return SolveResult(
         x=P(axis, None), f=P(axis), g=P(axis, None),
         iterations=P(axis), status=P(axis), pg_norm=P(axis),
+        x_lo=P(axis, None), gcp_multimodal=P(axis),
     )
 
 
