@@ -366,6 +366,40 @@ def log(x: DF) -> DF:
     return add(sub_f(mul(x, e2), 1.0), y)
 
 
+def expm1(x: DF) -> DF:
+    """df expm1: exact df subtraction after :func:`exp` — no cancellation
+    for small x because exp's Taylor path keeps the low word."""
+    return sub_f(exp(x), 1.0)
+
+
+def log1p(x: DF) -> DF:
+    """df log1p: ``log(1 + x)`` with the addition done in df (exact), so
+    small-x accuracy is preserved."""
+    return log(add_f(x, 1.0))
+
+
+def tanh(x: DF) -> DF:
+    """df tanh via the exp identity, on the numerically stable side:
+    ``tanh(x) = sign(x) * (1 - 2/(e^{2|x|} + 1))``."""
+    ax = abs_(x)
+    e2 = exp(mul_f(ax, 2.0))
+    two = from_f32(jnp.full_like(x.hi, 2.0))
+    t = sub(from_f32(jnp.ones_like(x.hi)), div(two, add_f(e2, 1.0)))
+    flip = x.hi < 0.0
+    return DF(jnp.where(flip, -t.hi, t.hi), jnp.where(flip, -t.lo, t.lo))
+
+
+def logistic(x: DF) -> DF:
+    """df sigmoid ``1 / (1 + e^{-x})`` computed on the stable side."""
+    ax = abs_(x)
+    e = exp(neg(ax))                      # in (0, 1]
+    one = from_f32(jnp.ones_like(x.hi))
+    p = div(one, add_f(e, 1.0))           # sigmoid(|x|)
+    q = sub(one, p)                       # sigmoid(-|x|), exact in df
+    pos = x.hi >= 0.0
+    return DF(jnp.where(pos, p.hi, q.hi), jnp.where(pos, p.lo, q.lo))
+
+
 def powi(x: DF, n: int) -> DF:
     """Integer power by binary exponentiation (df); n >= 0."""
     if n == 0:

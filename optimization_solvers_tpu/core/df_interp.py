@@ -172,6 +172,10 @@ _RULES = {
     "min": lambda a, b: df.minimum(a, b),
     "exp": lambda a, **kw: df.exp(a),
     "log": lambda a, **kw: df.log(a),
+    "expm1": lambda a, **kw: df.expm1(a),
+    "log1p": lambda a, **kw: df.log1p(a),
+    "tanh": lambda a, **kw: df.tanh(a),
+    "logistic": lambda a, **kw: df.logistic(a),
     "sqrt": lambda a, **kw: df.sqrt(a),
     "rsqrt": lambda a, **kw: df.div(
         df.from_f32(jnp.ones_like(a.hi)), df.sqrt(a)),

@@ -223,3 +223,45 @@ def test_interpreter_under_vmap():
     fb, gb = jax.jit(jax.vmap(vg))(Xb)
     ref = jax.vmap(jax.grad(rosen))(jnp.asarray(df.to_f64(Xb)))
     assert np.max(np.abs(df.to_f64(gb) - np.asarray(ref))) < 1e-8
+
+
+def test_transcendental_extensions_vs_f64():
+    """tanh / logistic / log1p / expm1 (round 5 late): the primitive set a
+    logistic-regression-class objective traces to; near-df accurate and
+    stable on both sides."""
+    x64 = df.to_f64(df.from_f64(_rand(512, lo=-15.0, hi=15.0, seed=21)))
+    xd = df.from_f64(x64)
+    np.testing.assert_allclose(df.to_f64(df.tanh(xd)), np.tanh(x64),
+                               rtol=2 ** -38, atol=2 ** -45)
+    sig = 1.0 / (1.0 + np.exp(-x64))
+    np.testing.assert_allclose(df.to_f64(df.logistic(xd)), sig,
+                               rtol=2 ** -38, atol=2 ** -45)
+    s64 = df.to_f64(df.from_f64(_rand(512, lo=-0.9, hi=5.0, seed=22)))
+    sd = df.from_f64(s64)
+    np.testing.assert_allclose(df.to_f64(df.log1p(sd)), np.log1p(s64),
+                               rtol=2 ** -36, atol=2 ** -45)
+    np.testing.assert_allclose(df.to_f64(df.expm1(sd)), np.expm1(s64),
+                               rtol=2 ** -38, atol=2 ** -45)
+
+    # end-to-end: logistic-regression negative log-likelihood gradient
+    from optimization_solvers_tpu.core.df_interp import df_value_and_grad
+
+    rng = np.random.RandomState(23)
+    m, n = 32, 16
+    A = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 2, m).astype(np.float32))
+
+    def nll(w, A, y):
+        z = A @ w
+        # stable NLL via log1p(exp(-|z|)) form
+        return jnp.sum(jnp.log1p(jnp.exp(-jnp.abs(z)))
+                       + jnp.maximum(z, 0.0) - y * z) / m
+
+    wdf = df.from_f64(rng.normal(size=n) * 0.5)
+    vg = jax.jit(df_value_and_grad(nll, jnp.zeros(n, jnp.float32),
+                                   data=(A, y)))
+    _, g = vg(wdf)
+    g_ref = jax.grad(lambda w: nll(w, jnp.asarray(A, jnp.float64),
+                                   jnp.asarray(y, jnp.float64)))(
+        jnp.asarray(df.to_f64(wdf)))
+    assert np.max(np.abs(df.to_f64(g) - np.asarray(g_ref))) < 1e-8
