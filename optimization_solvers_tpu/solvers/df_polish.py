@@ -84,45 +84,131 @@ def _pg_inf_norm(x: DF, g: DF, lower, upper):
 
 
 def _single_polish(vg, val, n, grad_tol, max_iter, max_iter_ls,
-                   lower, upper, c1=1e-4):
-    """Build the single-instance df-BFGS loop (vmapped by the caller).
+                   lower, upper, c1=1e-4, memory=None):
+    """Build the single-instance df quasi-Newton loop (vmapped by the
+    caller).
 
-    Direction: dense inverse-BFGS in PLAIN f32 — direction quality only
-    needs a few digits; all accuracy-bearing quantities (iterate update,
-    y = g+ - g, s.y curvature, Armijo test, convergence) are df.  The
-    update is the standard inverse form (``bfgs.rs:88-110`` semantics) with
-    the curvature guard skipping updates when df s.y <= 0."""
+    Direction engine in PLAIN f32 — direction quality only needs a few
+    digits; all accuracy-bearing quantities (iterate update, y = g+ - g,
+    s.y curvature, Armijo test, convergence) are df:
+
+    * ``memory is None``: dense inverse-BFGS (``bfgs.rs:88-110``
+      semantics), O(n^2) state — the default up to moderate n.
+    * ``memory = m``: L-BFGS two-loop recursion over the last m df-exact
+      (s, y) pairs, O(m*n) state — the large-n engine (an (n, n) H at
+      n = 10k would be 400 MB/lane).  Invalid slots carry rho = 0, which
+      zeroes their two-loop contributions without masks.
+
+    Both engines apply the Nocedal-Wright 6.20 scaling and skip updates
+    when df s.y <= 0."""
     bounded = lower is not None
+    lbfgs = memory is not None
+    m_hist = int(memory) if lbfgs else 0
 
     def eval_vg(x: DF):
         fv, gv = vg(x)
         return fv, gv
 
+    # ---- direction engines (f32 state) --------------------------------
+    if lbfgs:
+        def engine_init():
+            return (jnp.zeros((m_hist, n), jnp.float32),   # S
+                    jnp.zeros((m_hist, n), jnp.float32),   # Y
+                    jnp.zeros((m_hist,), jnp.float32),     # rho (0 = empty)
+                    jnp.float32(1.0))                      # gamma
+
+        def engine_direction(st, g32):
+            S, Y, rho, gamma = st
+            q = g32
+            alphas = []
+            for i in range(m_hist - 1, -1, -1):
+                a = rho[i] * numerics_dot(S[i], q)
+                q = q - a * Y[i]
+                alphas.append(a)
+            q = gamma * q
+            for i in range(m_hist):
+                b = rho[i] * numerics_dot(Y[i], q)
+                q = q + S[i] * (alphas[m_hist - 1 - i] - b)
+            return -q
+
+        def engine_reset(st, keep):
+            S, Y, rho, gamma = st
+            return (S, Y, jnp.where(keep, rho, 0.0),
+                    jnp.where(keep, gamma, 1.0))
+
+        def engine_update(st, s32, y32, sy32, yy32, good, first):
+            S, Y, rho, gamma = st
+            S_n = jnp.concatenate([S[1:], s32[None]], axis=0)
+            Y_n = jnp.concatenate([Y[1:], y32[None]], axis=0)
+            r_new = 1.0 / jnp.where(sy32 == 0, 1.0, sy32)
+            rho_n = jnp.concatenate([rho[1:], jnp.full((1,), r_new,
+                                                       jnp.float32)])
+            g_n = jnp.where(yy32 > 0.0,
+                            sy32 / jnp.where(yy32 == 0, 1.0, yy32), gamma)
+            return (jnp.where(good, S_n, S), jnp.where(good, Y_n, Y),
+                    jnp.where(good, rho_n, rho),
+                    jnp.where(good, g_n, gamma))
+    else:
+        def engine_init():
+            return jnp.eye(n, dtype=jnp.float32)
+
+        def engine_direction(H, g32):
+            # true-f32 einsum: TPU `@` demotes to bf16 (core.numerics)
+            return -matvec(H, g32)
+
+        def engine_reset(H, keep):
+            return jnp.where(keep, H, jnp.eye(n, dtype=jnp.float32))
+
+        def engine_update(H, s32, y32, sy32, yy32, good, first):
+            # first good pair: H0 = (s.y / y.y) I (Nocedal-Wright 6.20)
+            gamma = jnp.where(good & first & (yy32 > 0.0),
+                              sy32 / jnp.where(yy32 == 0, 1.0, yy32), 1.0)
+            H = H * gamma
+            rho = jnp.where(good,
+                            1.0 / jnp.where(sy32 == 0, 1.0, sy32), 0.0)
+            Hy = matvec(H, y32)
+            sHy = jnp.outer(s32, Hy)
+            H_new = (H - rho * (sHy + sHy.T)
+                     + (rho * rho * numerics_dot(y32, Hy) + rho)
+                     * jnp.outer(s32, s32))
+            return jnp.where(good, H_new, H)
+
     def cond(c):
-        x, fv, g, H, k, done = c
+        x, fv, g, est, k, done = c
         return (~done) & (k < max_iter)
 
     def body(c):
-        x, fv, g, H, k, done = c
+        x, fv, g, est, k, done = c
         first = k == 0
         with df.launder_constants(df.runtime_true(x.hi)):
-            # direction in f32 off the df gradient's hi part (true-f32
-            # einsum: TPU `@` demotes to bf16, core.numerics convention)
+            # direction in f32 off the df gradient's hi part
             g32 = g.hi
-            d = -matvec(H, g32)
             if bounded:
-                # projected path: clip the Cauchy-like target, direction
-                # toward the projected point (projected Newton-ish step,
-                # projected_gradient_descent.rs:57 semantics)
+                # two-metric projection: coordinates sitting ON a bound
+                # with the gradient pushing outward are ACTIVE — excluded
+                # from the quasi-Newton metric (the curvature model mixes
+                # them into free coordinates and stalls the projected
+                # direction at ~tol; measured on the low-curvature bounded
+                # LSE class).  df.clip sets x.hi exactly to the bound, so
+                # the activity test is exact equality.
+                active_set = (((x.hi <= lower) & (g32 > 0.0))
+                              | ((x.hi >= upper) & (g32 < 0.0)))
+                g_eff = jnp.where(active_set, 0.0, g32)
+                d = engine_direction(est, g_eff)
+                d = jnp.where(active_set, 0.0, d)
+                # projected path: clip the target, direction toward the
+                # projected point (projected_gradient_descent.rs:57)
                 tgt = jnp.clip(x.hi + d, lower, upper)
                 d = tgt - x.hi
+            else:
+                d = engine_direction(est, g32)
             gd = df.dot(g, df.from_f32(d))
             descent = gd.hi < 0.0
-            # non-descent (H gone bad): steepest-descent restart
+            # non-descent (curvature model gone bad): steepest restart
             d_sd = -g32 if not bounded else (
                 jnp.clip(x.hi - g32, lower, upper) - x.hi)
             d = jnp.where(descent, d, d_sd)
-            H = jnp.where(descent, H, jnp.eye(n, dtype=jnp.float32))
+            est = engine_reset(est, descent)
             gd = df.where(descent, gd, df.dot(g, df.from_f32(d)))
 
             d_df = df.from_f32(d)
@@ -157,26 +243,11 @@ def _single_polish(vg, val, n, grad_tol, max_iter, max_iter_ls,
             s_df = df.sub(xt, x)
             y_df = df.sub(g_new, g)
             sy = df.dot(s_df, y_df)
+            yy = df.dot(y_df, y_df)
             s32 = s_df.hi + s_df.lo
             y32 = y_df.hi + y_df.lo
-            sy32 = sy.hi
             good = (sy.hi > 0.0) & ls_ok
-            # first good pair: rescale H0 = (s.y / y.y) I before updating —
-            # the standard initial-curvature guess (Nocedal-Wright 6.20);
-            # without it the identity start costs tens of extra iterations
-            # on ill-conditioned valleys
-            yy = df.dot(y_df, y_df)
-            gamma = jnp.where(good & first & (yy.hi > 0.0),
-                              sy32 / jnp.where(yy.hi == 0, 1.0, yy.hi), 1.0)
-            H = H * gamma
-            rho = jnp.where(good, 1.0 / jnp.where(sy32 == 0, 1.0, sy32), 0.0)
-            # inverse BFGS:  H' = (I - rho s y^T) H (I - rho y s^T) + rho s s^T
-            Hy = matvec(H, y32)
-            sHy = jnp.outer(s32, Hy)
-            H_new = (H - rho * (sHy + sHy.T)
-                     + (rho * rho * numerics_dot(y32, Hy) + rho)
-                     * jnp.outer(s32, s32))
-            H = jnp.where(good, H_new, H)
+            est = engine_update(est, s32, y32, sy.hi, yy.hi, good, first)
 
             pg = _pg_inf_norm(xt, g_new, lower, upper)
             conv = pg < grad_tol
@@ -184,22 +255,22 @@ def _single_polish(vg, val, n, grad_tol, max_iter, max_iter_ls,
             # a failed line search at a non-certified point cannot make
             # further progress -> stop (status resolved at exit)
             done_new = conv | bad | ~ls_ok
-            return (xt, f_new, g_new, H, k + 1, done_new)
+            return (xt, f_new, g_new, est, k + 1, done_new)
 
     def eval_f(x: DF):
         # value-only oracle for the Armijo loop (grad skipped, same
         # cost-saving the main driver's value path gives Armijo searches)
         return val(x)
 
-    return cond, body
+    return cond, body, engine_init
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("f", "n", "grad_tol", "max_iter",
-                     "max_iter_ls", "bounded"))
+                     "max_iter_ls", "bounded", "memory"))
 def _polish_jit(f, data, x0_hi, x0_lo, n, grad_tol, max_iter,
-                max_iter_ls, lower, upper, bounded):
+                max_iter_ls, lower, upper, bounded, memory):
     vg1 = df_value_and_grad(f, jnp.zeros(n, jnp.float32), data=data)
     val1 = df_value(f, jnp.zeros(n, jnp.float32), data=data)
 
@@ -207,18 +278,18 @@ def _polish_jit(f, data, x0_hi, x0_lo, n, grad_tol, max_iter,
     up1 = upper if bounded else None
 
     def solve_one(xh, xl, lo_i, up_i):
-        cond, body = _single_polish(
-            vg1, val1, n, grad_tol, max_iter, max_iter_ls, lo_i, up_i)
+        cond, body, engine_init = _single_polish(
+            vg1, val1, n, grad_tol, max_iter, max_iter_ls, lo_i, up_i,
+            memory=memory)
         x0 = DF(xh, xl)
         if bounded:
             x0 = df.clip(x0, df.from_f32(lo_i), df.from_f32(up_i))
         with df.launder_constants(df.runtime_true(xh)):
             f0, g0 = vg1(x0)
             pg0 = _pg_inf_norm(x0, g0, lo_i, up_i)
-        H0 = jnp.eye(n, dtype=jnp.float32)
         done0 = (pg0 < grad_tol) | ~jnp.isfinite(f0.hi)
-        x, fv, g, H, k, done = lax.while_loop(
-            cond, body, (x0, f0, g0, H0, jnp.int32(0), done0))
+        x, fv, g, _, k, done = lax.while_loop(
+            cond, body, (x0, f0, g0, engine_init(), jnp.int32(0), done0))
         with df.launder_constants(df.runtime_true(x.hi)):
             pg = _pg_inf_norm(x, g, lo_i, up_i)
         status = jnp.where(
@@ -242,7 +313,7 @@ def _polish_jit(f, data, x0_hi, x0_lo, n, grad_tol, max_iter,
 
 def df_polish_minimize(f, x0, *, data=(), x0_lo=None, bounds=None,
                        grad_tol=1e-6, max_iter=200,
-                       max_iter_ls=30) -> DFPolishResult:
+                       max_iter_ls=30, memory="auto") -> DFPolishResult:
     """Batched double-float BFGS solve/polish from ``x0``.
 
     ``f`` is a raw scalar objective ``f(x, *data)`` (the same contract the
@@ -252,6 +323,11 @@ def df_polish_minimize(f, x0, *, data=(), x0_lo=None, bounds=None,
     batch of one); ``x0_lo`` optionally carries the low words of a df
     starting point.  ``bounds=(lower, upper)`` activates the projected
     variant ((n,) shared or (B, n) per-lane).
+
+    ``memory`` selects the direction engine: ``"auto"`` (dense inverse-
+    BFGS up to n = 512, L-BFGS(10) beyond — an (n, n) H at large n would
+    be O(n^2) memory per lane), ``None`` forces dense, an int forces
+    L-BFGS with that history length.
 
     Usable two ways: as a *polish* from an f32 solver's exit (the
     ``precision="f32x2"`` path — lanes already certified exit at zero
@@ -278,9 +354,11 @@ def df_polish_minimize(f, x0, *, data=(), x0_lo=None, bounds=None,
             upper = jnp.full((n,), upper, jnp.float32)
     else:
         lower = upper = jnp.zeros((0,), jnp.float32)  # placeholder operand
+    if memory == "auto":
+        memory = None if n <= 512 else 10
     res = _polish_jit(f, data, x0, x0_lo, n, float(grad_tol),
                       int(max_iter), int(max_iter_ls), lower, upper,
-                      bounded)
+                      bounded, None if memory is None else int(memory))
     if single:
         res = jax.tree.map(lambda a: a[0], res)
         res = DFPolishResult(*res)

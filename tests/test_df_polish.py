@@ -103,3 +103,41 @@ def test_polish_out_of_domain_and_single():
     bad = df_polish_minimize(logobj, jnp.full((1, 4), -1.0, jnp.float32),
                              grad_tol=1e-6, max_iter=10)
     assert int(np.asarray(bad.status)[0]) == 3
+
+
+def test_polish_lbfgs_engine_large_n_bounded():
+    """memory="auto" switches to the L-BFGS(10) two-loop engine past
+    n=512 (round-5 late: the large-n strict-tolerance path — a dense
+    (n, n) H would be O(n^2)/lane).  Bounded LSE class, every certificate
+    validated against true-f64 bounded projected gradient."""
+    rng = np.random.RandomState(0)
+    rows, n, B = 64, 600, 3
+    A = jnp.asarray(rng.normal(size=(rows, n)) / np.sqrt(n), jnp.float32)
+    b = jnp.asarray(rng.uniform(-1, 1, rows), jnp.float32)
+
+    def lse(x, A, b):
+        z = A @ x - b
+        zm = jnp.max(z)
+        return (zm + jnp.log(jnp.sum(jnp.exp(z - zm)))
+                + 0.005 * jnp.sum(x * x))
+
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, n)), jnp.float32)
+    r1 = ost.minimize(lse, x0, method="lbfgsb", data=(A, b),
+                      bounds=(-1.0, 1.0), pgtol=1e-3, factr=100.0,
+                      max_iter=200)
+    res = df_polish_minimize(lse, r1.x, data=(A, b), bounds=(-1.0, 1.0),
+                             grad_tol=1e-6, max_iter=100)
+    st = np.asarray(res.status)
+    assert (st == 1).all(), (st, np.asarray(res.pg_norm))
+    assert np.asarray(res.iterations).max() <= 30
+    xp = df.to_f64(res.x)
+    g64 = jax.vmap(jax.grad(
+        lambda x: lse(x, jnp.asarray(A, jnp.float64),
+                      jnp.asarray(b, jnp.float64))))(jnp.asarray(xp))
+    pg_true = np.max(np.abs(xp - np.clip(xp - np.asarray(g64), -1.0, 1.0)),
+                     axis=1)
+    assert (pg_true <= 1.1e-6).all(), pg_true
+    # explicit engine override: dense also works at this n (cross-check)
+    res_d = df_polish_minimize(lse, r1.x, data=(A, b), bounds=(-1.0, 1.0),
+                               grad_tol=1e-6, max_iter=100, memory=None)
+    assert (np.asarray(res_d.status) == 1).all()
