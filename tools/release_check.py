@@ -152,6 +152,10 @@ _ARTIFACTS = {
 
 
 def _is_artifact(path):
+    # markdown and harness-config files don't execute: changing them
+    # cannot invalidate what the check validated
+    if path.endswith(".md") or path.startswith(".claude/"):
+        return True
     return path in _ARTIFACTS or path.startswith(
         ("BENCH_", "ROOFLINE", "MULTICHIP_", "CONFIG5_", "DF_TPU",
          "MXU_PROBE", "TALL_LS", "SCALING_", "COPYCHECK",
